@@ -1,0 +1,140 @@
+"""Configuration dataclasses (capability parity with reference
+``nnx_ppo/algorithms/config.py``), plus TPU-first additions:
+
+* configs are **frozen** (hashable) so the whole ``PPOConfig`` can be a
+  single static argument to the jitted train step — one arg instead of
+  the reference's 12 static scalars (``ppo.py:105``);
+* :class:`ShardingConfig` declares the device-mesh data-parallel layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from nnx_ppo_tpu.algorithms.types import (
+    DistillationState,
+    LoggingLevel,
+    TrainingState,
+)
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    """Core PPO algorithm parameters (defaults match the reference
+    ``config.py:11-31``)."""
+
+    n_envs: int = 256
+    rollout_length: int = 20
+    total_steps: int = 512_000
+    gae_lambda: float = 0.95
+    discounting_factor: float = 0.99
+    clip_range: float = 0.2
+    learning_rate: float = 1e-4
+    normalize_advantages: bool = True
+    combine_advantages: bool = False
+    n_epochs: int = 4
+    n_minibatches: int = 4
+    critic_loss_weight: float = 1.0
+    gradient_clipping: Optional[float] = None
+    weight_decay: Optional[float] = None
+    logging_level: LoggingLevel = LoggingLevel.LOSSES
+    logging_percentiles: Optional[tuple[int, ...]] = None
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation rollout configuration."""
+
+    enabled: bool = True
+    every_steps: int = 50_000
+    n_envs: int = 64
+    max_episode_length: int = 1000
+    logging_level: LoggingLevel = LoggingLevel.BASIC
+    logging_percentiles: Optional[tuple[int, ...]] = (0, 25, 50, 75, 100)
+
+
+@dataclass(frozen=True)
+class VideoConfig:
+    """Video recording configuration."""
+
+    enabled: bool = False
+    every_steps: int = 200_000
+    episode_length: int = 1000
+    render_kwargs: tuple[tuple[str, Any], ...] = (("height", 480), ("width", 640))
+
+    @property
+    def render_kwargs_dict(self) -> dict[str, Any]:
+        return dict(self.render_kwargs)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Complete training configuration."""
+
+    ppo: PPOConfig = field(default_factory=PPOConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    video: VideoConfig = field(default_factory=VideoConfig)
+    seed: int = 17
+    checkpoint_every_steps: int = 500_000
+
+
+@dataclass(frozen=True)
+class DistillationConfig:
+    """Core distillation algorithm parameters."""
+
+    n_envs: int = 256
+    rollout_length: int = 20
+    total_steps: int = 512_000
+    learning_rate: float = 1e-4
+    n_epochs: int = 4
+    n_minibatches: int = 4
+    gradient_clipping: Optional[float] = None
+    weight_decay: Optional[float] = None
+    logging_level: LoggingLevel = LoggingLevel.LOSSES
+    logging_percentiles: Optional[tuple[int, ...]] = None
+
+
+@dataclass(frozen=True)
+class DistillationTrainConfig:
+    """Complete training configuration for distillation."""
+
+    distillation: DistillationConfig = field(default_factory=DistillationConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    video: VideoConfig = field(default_factory=VideoConfig)
+    seed: int = 17
+    checkpoint_every_steps: int = 500_000
+
+
+@dataclass
+class VideoData:
+    """Data passed to the video callback."""
+
+    frames: np.ndarray  # (T, H, W, C), uint8
+    step: int
+    episode_reward: float
+    episode_length: int
+
+
+@dataclass
+class TrainResult:
+    """Result of train_ppo: final state, metrics, eval history."""
+
+    training_state: TrainingState
+    final_metrics: dict[str, Any]
+    eval_history: list[dict[str, Any]]
+    total_steps: int
+    total_iterations: int
+
+
+@dataclass
+class DistillationTrainResult:
+    """Result of train_distillation."""
+
+    training_state: DistillationState
+    final_metrics: dict[str, Any]
+    eval_history: list[dict[str, Any]]
+    total_steps: int
+    total_iterations: int

@@ -1,0 +1,551 @@
+"""PPO: host training loop + one fused jitted train step.
+
+Capability parity with reference ``nnx_ppo/algorithms/ppo.py``,
+re-architected TPU-first:
+
+* The train step is a single ``jax.jit`` program with the
+  ``TrainingState`` **donated** (in-place buffer reuse on-chip) and all
+  hyperparameters folded into one static ``PPOConfig``.
+* All hot loops are ``lax.scan`` s: rollout over T, E·M gradient
+  updates, replay over T inside the loss, reverse GAE (Pallas kernel on
+  TPU, ``ops/gae.py``).
+* Optional data-parallel mesh: env axis sharded on ``data``; gradients,
+  normalizer statistics, and metrics reduce across chips via
+  GSPMD-inserted all-reduces (see ``parallel/mesh.py``).
+* Critical ordering invariant preserved from the reference
+  (``ppo.py:338-346``): minibatches consume the *pre-rollout* carries;
+  env/net state advance is committed only after all E·M updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nnx_ppo_tpu.algorithms import rollout
+from nnx_ppo_tpu.algorithms.config import (
+    EvalConfig,
+    PPOConfig,
+    TrainConfig,
+    TrainResult,
+    VideoConfig,
+    VideoData,
+)
+from nnx_ppo_tpu.algorithms.metrics import compute_metrics, log_weight_stats
+from nnx_ppo_tpu.algorithms.types import (
+    EnvState,
+    LoggingLevel,
+    RLEnv,
+    TrainingState,
+    Transition,
+)
+from nnx_ppo_tpu.core.struct import combine, partition_params, tree_where
+from nnx_ppo_tpu.networks.types import StatefulModule
+from nnx_ppo_tpu.ops.gae import gae  # re-exported; reference ppo.py:351
+from nnx_ppo_tpu.parallel.mesh import (
+    constrain_batch,
+    constrain_time_batch,
+    shard_training_state,
+)
+from nnx_ppo_tpu.parallel.permutation import minibatch_permutations
+
+
+def default_config() -> TrainConfig:
+    """Return default training configuration."""
+    return TrainConfig()
+
+
+def _should_run(steps: int, last_step: int, every_steps: int) -> bool:
+    """Check if a periodic action is due at this step count."""
+    if every_steps <= 0:
+        return False
+    return (steps // every_steps) > (last_step // every_steps)
+
+
+def make_optimizer(
+    learning_rate: float,
+    gradient_clipping: Optional[float] = None,
+    weight_decay: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """The optax chain used by the trainer (reference ``ppo.py:555-569``):
+    optional global-norm clipping + adam (or adamw when weight_decay)."""
+    links = []
+    if gradient_clipping is not None:
+        links.append(optax.clip_by_global_norm(gradient_clipping))
+    if weight_decay is None:
+        links.append(optax.adam(learning_rate=learning_rate))
+    elif isinstance(weight_decay, bool) and weight_decay:
+        links.append(optax.adamw(learning_rate=learning_rate))
+    else:
+        links.append(
+            optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
+        )
+    return optax.chain(*links)
+
+
+def new_training_state(
+    env: RLEnv,
+    networks: StatefulModule,
+    n_envs: int,
+    seed: int,
+    learning_rate: float = 1e-4,
+    gradient_clipping: Optional[float] = None,
+    weight_decay: Optional[float] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> TrainingState:
+    """Fresh TrainingState (reference ``ppo.py:534-572``): split seed,
+    vmapped env reset over n_envs, per-env network carries, optax init.
+    With a mesh, the state is placed sharded (env axis on ``data``)."""
+    key = jax.random.key(seed)
+    key, training_key = jax.random.split(key)
+
+    env_init_keys = jax.random.split(key, n_envs)
+    env_states = jax.jit(jax.vmap(env.reset))(env_init_keys)
+    network_states = networks.initialize_state(n_envs)
+
+    optimizer = make_optimizer(learning_rate, gradient_clipping, weight_decay)
+    params, _ = partition_params(networks)
+    opt_state = optimizer.init(params)
+
+    training_state = TrainingState(
+        networks=networks,
+        network_states=network_states,
+        env_states=env_states,
+        opt_state=opt_state,
+        rng_key=training_key,
+        steps_taken=jnp.array(0.0),
+    )
+    if mesh is not None:
+        training_state = shard_training_state(training_state, mesh)
+    return training_state
+
+
+def ppo_step(
+    env: RLEnv,
+    training_state: TrainingState,
+    config: PPOConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> tuple[TrainingState, dict[str, Any]]:
+    """One PPO iteration as a single XLA program (reference
+    ``ppo.py:254-348``): rollout → precompute all epoch×minibatch
+    permutations → scan over E·M gradient updates → metrics →
+    ``update_statistics`` → commit next env/net states.
+
+    ``env``, ``config``, ``optimizer``, and ``mesh`` are static.
+    """
+    n_envs = config.n_envs
+    logging_level = config.logging_level
+    n_shards = 1 if mesh is None else mesh.shape["data"]
+
+    reset_key, new_key = jax.random.split(training_state.rng_key)
+    next_net_state, next_env_state, rollout_data = rollout.unroll_env(
+        env,
+        training_state.env_states,
+        training_state.networks,
+        training_state.network_states,
+        config.rollout_length,
+        reset_key,
+    )
+    rollout_data = constrain_time_batch(rollout_data, mesh)
+
+    params, net_rest = partition_params(training_state.networks)
+    grad_fn = jax.grad(ppo_loss, has_aux=True)
+
+    # Pre-compute all minibatch indices for all epochs (shard-local
+    # permutations on a mesh — see parallel/permutation.py).
+    all_indices = minibatch_permutations(
+        new_key, n_envs, config.n_epochs, config.n_minibatches, n_shards
+    )
+
+    def update_step(carry, inds):
+        params, opt_state = carry
+        minibatch_data = jax.tree.map(lambda x: x[:, inds], rollout_data)
+        minibatch_data = constrain_time_batch(minibatch_data, mesh)
+        net_state_subset = jax.tree.map(
+            lambda x: x[inds], training_state.network_states
+        )
+        net_state_subset = constrain_batch(net_state_subset, mesh)
+        grads, loss_metrics = grad_fn(
+            params,
+            net_rest,
+            net_state_subset,
+            minibatch_data,
+            clip_range=config.clip_range,
+            normalize_advantages=config.normalize_advantages,
+            combine_advantages=config.combine_advantages,
+            discounting_factor=config.discounting_factor,
+            gae_lambda=config.gae_lambda,
+            critic_loss_weight=config.critic_loss_weight,
+            logging_level=logging_level,
+        )
+        if LoggingLevel.GRAD_NORM in logging_level:
+            loss_metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss_metrics
+
+    (params, opt_state), loss_metrics = jax.lax.scan(
+        update_step, (params, training_state.opt_state), all_indices
+    )
+    networks = combine(params, net_rest)
+
+    total_steps = training_state.steps_taken + config.rollout_length * n_envs
+    metrics = compute_metrics(
+        loss_metrics, rollout_data, logging_level, config.logging_percentiles
+    )
+    metrics["total_steps"] = total_steps
+    if LoggingLevel.WEIGHTS in logging_level:
+        log_weight_stats(metrics, networks, config.logging_percentiles)
+
+    # Fold rollout statistics (Normalizer Welford etc.) after the updates.
+    networks = networks.update_statistics(rollout_data.rollout_extras)
+
+    # Commit env/net state advance only now — minibatches above consumed
+    # the pre-rollout carries (reference invariant, ppo.py:338-346).
+    training_state = training_state.replace(
+        networks=networks,
+        opt_state=opt_state,
+        network_states=next_net_state,
+        env_states=next_env_state,
+        rng_key=new_key,
+        steps_taken=total_steps,
+    )
+    return training_state, metrics
+
+
+def ppo_loss(
+    params: Any,
+    net_rest: Any,
+    network_state: Any,
+    rollout_data: Transition,
+    clip_range: float,
+    normalize_advantages: bool,
+    combine_advantages: bool,
+    discounting_factor: float,
+    gae_lambda: float,
+    critic_loss_weight: float,
+    logging_level: LoggingLevel,
+) -> tuple[jax.Array, dict[str, Any]]:
+    """Clipped-surrogate PPO loss with replay (reference
+    ``ppo.py:397-531``): re-run the network over [T] feeding stored
+    ``rollout_extras``; reset carries per-env on ``done`` inside the
+    scan; bootstrap the T+1 value with ``rollout_extras=None``; per-
+    reward-key GAE; optional team-summed advantages; advantage
+    normalization; 0.5·MSE critic; module regularization losses."""
+    networks = combine(params, net_rest)
+    rollout_data = jax.lax.stop_gradient(rollout_data)
+
+    def step_network(net_state, xs):
+        obs, done, extras = xs
+        out = networks(net_state, obs, extras)
+        reset_states = networks.reset_state(out.next_state)
+        new_net_state = tree_where(done, reset_states, out.next_state)
+        return new_net_state, (out.output, out.regularization_loss)
+
+    final_net_state, (network_output, scanned_reg_loss) = jax.lax.scan(
+        step_network,
+        network_state,
+        (rollout_data.obs, rollout_data.done, rollout_data.rollout_extras),
+    )
+
+    last_obs = jax.tree.map(lambda x: x[-1], rollout_data.next_obs)
+    # T+1 bootstrap: rollout_extras=None → samplers take the fresh-sample
+    # path (only value_estimates are consumed).
+    out_last = networks(final_net_state, last_obs)
+    network_output_last = out_last.output
+
+    # Flat done/truncated are shared across all reward keys.
+    done = rollout_data.done
+    truncated = rollout_data.truncated
+    if isinstance(done, jax.Array):
+        done = jax.tree.map(lambda _: done, rollout_data.rewards)
+        truncated = jax.tree.map(lambda _: truncated, rollout_data.rewards)
+
+    advantages = jax.tree.map(
+        functools.partial(gae, lambda_=gae_lambda, gamma=discounting_factor),
+        rollout_data.rewards,
+        network_output.value_estimates,
+        network_output_last.value_estimates,
+        done,
+        truncated,
+    )
+    advantages = jax.lax.stop_gradient(advantages)
+    target_values = jax.lax.stop_gradient(
+        jax.tree.map(jnp.add, network_output.value_estimates, advantages)
+    )
+
+    if combine_advantages:
+        summed_advantage = functools.reduce(jnp.add, jax.tree.leaves(advantages))
+        if isinstance(network_output.loglikelihoods, jax.Array):
+            advantages = summed_advantage
+        else:
+            # Broadcast the team-summed advantage to the loglikelihoods
+            # tree (value heads may exist on modules without actions).
+            advantages = jax.tree.map(
+                lambda _: summed_advantage, network_output.loglikelihoods
+            )
+
+    if normalize_advantages:
+        advantages = jax.tree.map(
+            lambda a: (a - a.mean()) / (a.std() + 1e-8), advantages
+        )
+
+    def clipped_loss(new_loglikelihoods, old_loglikelihoods, advantages):
+        likelihood_ratios = jnp.exp(new_loglikelihoods - old_loglikelihoods)
+        loss_cand1 = likelihood_ratios * advantages
+        loss_cand2 = (
+            jnp.clip(likelihood_ratios, 1 - clip_range, 1 + clip_range) * advantages
+        )
+        return -jnp.mean(jnp.minimum(loss_cand1, loss_cand2))
+
+    actor_losses = jax.tree.map(
+        clipped_loss,
+        network_output.loglikelihoods,
+        rollout_data.network_output.loglikelihoods,
+        advantages,
+    )
+    critic_losses = jax.tree.map(
+        lambda v, t: 0.5 * jnp.mean((v - t) ** 2),
+        network_output.value_estimates,
+        target_values,
+    )
+    # Entropy bonuses enter via module regularization losses.
+    regularization_losses = jax.tree.map(jnp.mean, scanned_reg_loss)
+
+    actor_loss = functools.reduce(jnp.add, jax.tree.leaves(actor_losses))
+    critic_loss = functools.reduce(jnp.add, jax.tree.leaves(critic_losses))
+    regularization_loss = functools.reduce(
+        jnp.add, jax.tree.leaves(regularization_losses), jnp.array(0.0)
+    )
+
+    loss_metrics: dict[str, Any] = {}
+    if LoggingLevel.LOSSES in logging_level:
+        loss_metrics["losses/actor"] = actor_losses
+        loss_metrics["losses/critic"] = critic_losses
+        loss_metrics["losses/regularization"] = regularization_losses
+    if LoggingLevel.ACTOR_EXTRA in logging_level:
+        loss_metrics["losses/clipping_fraction"] = jax.tree.map(
+            lambda new_ll, old_ll: jnp.mean(
+                jnp.abs(jnp.exp(new_ll - old_ll) - 1.0) > clip_range
+            ),
+            network_output.loglikelihoods,
+            rollout_data.network_output.loglikelihoods,
+        )
+    if LoggingLevel.CRITIC_EXTRA in logging_level:
+        loss_metrics["losses/advantages"] = advantages
+        loss_metrics["losses/critic_R^2"] = jax.tree.map(
+            lambda l, tv: 1.0 - 2 * l / (jnp.var(tv) + 1e-8),
+            critic_losses,
+            target_values,
+        )
+    total_loss = actor_loss + critic_loss_weight * critic_loss + regularization_loss
+    return total_loss, loss_metrics
+
+
+def train_ppo(
+    env: RLEnv,
+    networks: StatefulModule,
+    config: Optional[TrainConfig] = None,
+    *,
+    total_steps: Optional[int] = None,
+    seed: Optional[int] = None,
+    log_fn: Optional[Callable[[dict[str, Any], int], None]] = None,
+    video_fn: Optional[Callable[[VideoData], None]] = None,
+    checkpoint_fn: Optional[Callable[[TrainingState, int], None]] = None,
+    eval_env: Optional[RLEnv] = None,
+    initial_state: Optional[TrainingState] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> TrainResult:
+    """Train a PPO agent (reference ``ppo.py:41-251``).
+
+    Args mirror the reference; ``mesh`` additionally enables multi-chip
+    data parallelism (env axis sharded over ``mesh['data']``).
+
+    Returns a TrainResult with the final TrainingState (a plain pytree —
+    pass it back as ``initial_state`` to resume exactly).
+    """
+    if config is None:
+        config = default_config()
+    if total_steps is not None:
+        config = dataclasses.replace(
+            config, ppo=dataclasses.replace(config.ppo, total_steps=total_steps)
+        )
+    if seed is not None:
+        config = dataclasses.replace(config, seed=seed)
+    if eval_env is None:
+        eval_env = env
+
+    if initial_state is None:
+        training_state = new_training_state(
+            env,
+            networks,
+            config.ppo.n_envs,
+            config.seed,
+            config.ppo.learning_rate,
+            config.ppo.gradient_clipping,
+            config.ppo.weight_decay,
+            mesh=mesh,
+        )
+    else:
+        training_state = initial_state
+
+    # The train step donates the TrainingState buffers (in-place reuse on
+    # chip). Copy any caller-owned arrays (the user's network module, a
+    # restored checkpoint) so donation never invalidates buffers the
+    # caller still holds.
+    training_state = jax.tree.map(jnp.copy, training_state)
+
+    optimizer = make_optimizer(
+        config.ppo.learning_rate,
+        config.ppo.gradient_clipping,
+        config.ppo.weight_decay,
+    )
+
+    ppo_step_jit = jax.jit(
+        functools.partial(
+            ppo_step, env, config=config.ppo, optimizer=optimizer, mesh=mesh
+        ),
+        donate_argnums=(0,),
+    )
+    eval_rollout_jit = jax.jit(
+        functools.partial(
+            rollout.eval_rollout,
+            eval_env,
+            n_envs=config.eval.n_envs,
+            max_episode_length=config.eval.max_episode_length,
+            logging_percentiles=config.eval.logging_percentiles,
+        ),
+        static_argnums=(),
+    )
+    eval_render_jit = jax.jit(
+        functools.partial(
+            rollout.eval_rollout_for_render_scan,
+            eval_env,
+            max_episode_length=config.video.episode_length,
+        )
+    )
+
+    eval_history: list[dict[str, Any]] = []
+    last_eval_step = -config.eval.every_steps
+    last_video_step = -config.video.every_steps
+    last_checkpoint_step = -config.checkpoint_every_steps
+    metrics: dict[str, Any] = {}
+    n_iterations = 0
+    measure_throughput = LoggingLevel.THROUGHPUT in config.ppo.logging_level
+
+    def run_eval(networks: StatefulModule) -> dict[str, Any]:
+        eval_networks = networks.eval()
+        t0 = time.perf_counter() if measure_throughput else None
+        eval_metrics = eval_rollout_jit(
+            eval_networks, key=jax.random.key(config.seed)
+        )
+        if measure_throughput:
+            jax.block_until_ready(eval_metrics)
+            elapsed = time.perf_counter() - t0
+            eval_metrics = dict(eval_metrics)
+            eval_metrics["throughput/eval_sps"] = (
+                config.eval.n_envs * config.eval.max_episode_length / elapsed
+            )
+        return {k: _to_host(v) for k, v in dict(eval_metrics).items()}
+
+    def run_video(networks: StatefulModule, steps: int, iteration: int) -> dict:
+        if video_fn is None or not hasattr(eval_env, "render"):
+            return {}
+        eval_networks = networks.eval()
+        t0 = time.perf_counter() if measure_throughput else None
+        render_key = jax.random.fold_in(jax.random.key(config.seed), iteration)
+        stacked_states, final_state, episode_reward = eval_render_jit(
+            eval_networks, key=render_key
+        )
+        trajectory = rollout.unstack_trajectory(
+            stacked_states, final_state, config.video.episode_length
+        )
+        frames = getattr(eval_env, "render")(
+            trajectory, **config.video.render_kwargs_dict
+        )
+        video_fn(
+            VideoData(
+                frames=np.stack(frames),
+                step=steps,
+                episode_reward=float(episode_reward),
+                episode_length=config.video.episode_length,
+            )
+        )
+        if measure_throughput:
+            elapsed = time.perf_counter() - t0
+            return {"throughput/video_sps": config.video.episode_length / elapsed}
+        return {}
+
+    # Initial eval/video/checkpoint at step 0.
+    steps = int(training_state.steps_taken)
+    if config.eval.enabled:
+        eval_metrics = run_eval(training_state.networks)
+        metrics.update(eval_metrics)
+        eval_history.append({"step": steps, **eval_metrics})
+        last_eval_step = steps
+    if config.video.enabled:
+        metrics.update(run_video(training_state.networks, steps, n_iterations))
+        last_video_step = steps
+    if checkpoint_fn is not None and _should_run(
+        steps, last_checkpoint_step, config.checkpoint_every_steps
+    ):
+        checkpoint_fn(training_state, steps)
+        last_checkpoint_step = steps
+    if log_fn is not None and metrics:
+        log_fn(metrics, steps)
+
+    # Main training loop.
+    while int(training_state.steps_taken) < config.ppo.total_steps:
+        t0 = time.perf_counter() if measure_throughput else None
+        training_state, metrics = ppo_step_jit(training_state)
+        n_iterations += 1
+        steps = int(training_state.steps_taken)  # host-sync barrier
+        if measure_throughput:
+            jax.block_until_ready(metrics)
+            elapsed = time.perf_counter() - t0
+            metrics["throughput/train_sps"] = (
+                config.ppo.n_envs * config.ppo.rollout_length / elapsed
+            )
+
+        if config.eval.enabled and _should_run(
+            steps, last_eval_step, config.eval.every_steps
+        ):
+            eval_metrics = run_eval(training_state.networks)
+            metrics.update(eval_metrics)
+            eval_history.append({"step": steps, **eval_metrics})
+            last_eval_step = steps
+
+        if config.video.enabled and _should_run(
+            steps, last_video_step, config.video.every_steps
+        ):
+            metrics.update(run_video(training_state.networks, steps, n_iterations))
+            last_video_step = steps
+
+        if checkpoint_fn is not None and _should_run(
+            steps, last_checkpoint_step, config.checkpoint_every_steps
+        ):
+            checkpoint_fn(training_state, steps)
+            last_checkpoint_step = steps
+
+        if log_fn is not None:
+            log_fn(metrics, steps)
+
+    return TrainResult(
+        training_state=training_state,
+        final_metrics=metrics,
+        eval_history=eval_history,
+        total_steps=int(training_state.steps_taken),
+        total_iterations=n_iterations,
+    )
+
+
+def _to_host(v: Any) -> Any:
+    return float(v) if hasattr(v, "shape") and v.shape == () else v

@@ -1,0 +1,104 @@
+"""Online (Welford) input normalizer.
+
+Capability parity with the reference Normalizer
+(``nnx_ppo/networks/normalizer.py:35-137``): the forward pass is
+**read-only** on the running statistics and emits its raw input as
+``rollout_extras``; statistics are folded in once per training step via
+:meth:`update_statistics` with a single batched Welford merge over the
+``[T, B, *feat]`` history. Before any data has been folded in, the
+fallback standard deviation is 10.0 (reference ``normalizer.py:72-77``).
+
+TPU / multi-chip notes: statistics live as ``stats``-role leaves —
+checkpointed, excluded from gradients, replicated across the mesh. The
+Welford merge reduces over the flattened ``T*B`` sample axis with
+``jnp.mean`` / ``jnp.sum``; under `jit` + `NamedSharding` with the env
+axis sharded on ``data``, GSPMD lowers these to per-shard partial
+reductions + an ``all-reduce`` over ICI automatically — the associative
+merge formula distributes cleanly (SURVEY §2.6(c)), so no explicit
+``psum`` is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.core.struct import field, pytree_dataclass, static_field
+from nnx_ppo_tpu.networks.types import (
+    ModuleOutput,
+    StatefulModule,
+    canonicalize_tree,
+)
+
+
+@pytree_dataclass
+class Normalizer(StatefulModule):
+    """Standardizes ``x`` to zero mean / unit variance using running
+    statistics. Supports arbitrary pytrees of features."""
+
+    mean: Any = field(role="stats")
+    M2: Any = field(role="stats")
+    counter: jax.Array = field(role="stats")
+    epsilon: float = static_field(default=1e-6)
+
+    @classmethod
+    def create(cls, shape, epsilon: float = 1e-6) -> "Normalizer":
+        """``shape`` is an int, tuple, or pytree of ints/tuples."""
+        if isinstance(shape, (tuple, list, int)):
+            mean = jnp.zeros(shape)
+            M2 = jnp.zeros(shape)
+        else:
+            shape = canonicalize_tree(shape)
+            is_shape = lambda s: isinstance(s, (tuple, int))
+            mean = jax.tree.map(jnp.zeros, shape, is_leaf=is_shape)
+            M2 = jax.tree.map(jnp.zeros, shape, is_leaf=is_shape)
+        return cls(mean=mean, M2=M2, counter=jnp.array(0.0), epsilon=epsilon)
+
+    def _std(self) -> Any:
+        # Pre-warm-up fallback std of 10.0 until the first fold.
+        warm = self.counter > 0
+        count = jnp.maximum(self.counter, 1.0)
+        return jax.tree.map(
+            lambda m2: jnp.where(
+                warm, jnp.sqrt(jnp.maximum(m2 / count, self.epsilon)), 10.0
+            ),
+            self.M2,
+        )
+
+    def __call__(self, state, x, rollout_extras=None) -> ModuleOutput:
+        x = canonicalize_tree(x)
+        std = self._std()
+        output = jax.tree.map(lambda v, m, s: (v - m) / s, x, self.mean, std)
+        # Always emit the raw input as rollout_extras; update_statistics
+        # folds the [T, B, ...] history after the gradient phase.
+        return ModuleOutput((), output, jnp.array(0.0), {}, rollout_extras=x)
+
+    def update_statistics(self, rollout_extras: Any) -> "Normalizer":
+        """One batched Welford merge of the ``[T, B, *feat]`` history.
+
+        ``M2_combined = M2_a + M2_b + delta^2 * n_a * n_b / (n_a + n_b)``
+        — associative, so it distributes over sharded batches
+        (per-shard partials + all-reduce under GSPMD).
+        """
+        leaves = jax.tree.leaves(rollout_extras)
+        flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]), rollout_extras)
+        n = leaves[0].shape[0] * leaves[0].shape[1]
+        new_count = self.counter + n
+        frac = n / new_count
+
+        batch_mean = jax.tree.map(lambda v: jnp.mean(v, axis=0), flat)
+        batch_M2 = jax.tree.map(
+            lambda v, bm: jnp.sum(jnp.square(v - bm), axis=0), flat, batch_mean
+        )
+
+        delta = jax.tree.map(lambda bm, m: bm - m, batch_mean, self.mean)
+        new_mean = jax.tree.map(lambda m, d: m + d * frac, self.mean, delta)
+        new_M2 = jax.tree.map(
+            lambda m2, bm2, d: m2 + bm2 + (d * d) * self.counter * n / new_count,
+            self.M2,
+            batch_M2,
+            delta,
+        )
+        return self.replace(mean=new_mean, M2=new_M2, counter=new_count)

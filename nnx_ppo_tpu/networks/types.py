@@ -1,0 +1,163 @@
+"""The StatefulModule protocol — the network/algorithm contract.
+
+Capability-parity with the reference protocol
+(``nnx_ppo/networks/types.py:39-113``), redesigned functionally for TPU:
+
+* A module is an immutable **pytree** (params/stats/rng-keys are array
+  leaves; sizes & flags are static treedef metadata). The whole network
+  goes through `jax.jit` / `jax.grad` / `NamedSharding` directly.
+* Two kinds of state, as in the reference:
+
+  1. *module state* — the module's own leaves (params, running stats,
+     RNG base keys). Never written from the forward path; statistics
+     are folded in once per train step via :meth:`update_statistics`,
+     which here is **functional** (returns a new module).
+  2. *carry state* — an explicit per-env pytree threaded by the
+     algorithm, reset at episode boundaries (RNN hiddens, delay
+     buffers, per-env PRNG keys).
+
+* ``rollout_extras`` is the ROLLOUT → LOSS_REPLAY channel: ``None``
+  means ROLLOUT/INFERENCE (sample fresh, emit snapshot); non-``None``
+  means LOSS_REPLAY (consume the stored snapshot). Identical semantics
+  to the reference (``networks/types.py:60-66``).
+
+RNG policy (TPU-first deviation from the reference)
+----------------------------------------------------
+The reference gives samplers a module-level mutable ``nnx.Rngs`` stream
+(``sampling_layers.py:96``) and variational layers per-env keys in the
+carry. Here **all** stochastic layers keep per-env keys in the carry:
+it is pure (no hidden mutation inside jit), it shards over the env axis
+with everything else, minibatch carry-slicing slices the keys
+consistently, and replay advances RNG in lockstep automatically because
+the replay scan threads the same carry. Keys survive episode resets
+(``reset_state`` preserves them), matching the reference's variational
+layers (``variational.py``).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.core import struct
+from nnx_ppo_tpu.core.struct import pytree_dataclass, static_field
+
+ModuleState = Any  # Any JAX pytree: (), (h, c), dict, per-env keys, ...
+
+
+@pytree_dataclass
+class PPONetworkOutput:
+    """PPO-specific forward output, produced by ``PPOAdapter``.
+
+    Mirrors the reference (``networks/types.py:16-26``). Each field may
+    be a PyTree (dict actions / multi-head values).
+    """
+
+    actions: Any
+    loglikelihoods: Any
+    value_estimates: Any
+
+
+@pytree_dataclass
+class ModuleOutput:
+    """Result of one module forward step.
+
+    Same five channels as the reference ``StatefulModuleOutput``
+    (``networks/types.py:29-36``).
+    """
+
+    next_state: ModuleState
+    output: Any
+    regularization_loss: Any  # scalar or [batch]
+    metrics: dict
+    rollout_extras: Any = None
+
+
+# Alias for API parity with the reference name.
+StatefulModuleOutput = ModuleOutput
+
+
+class StatefulModule(abc.ABC):
+    """Base class for network modules. Concrete subclasses are
+    ``pytree_dataclass`` es; instances are immutable pytrees."""
+
+    @abc.abstractmethod
+    def __call__(
+        self,
+        module_state: ModuleState,
+        obs: Any,
+        rollout_extras: Any = None,
+    ) -> ModuleOutput:
+        """Run one (batched) forward step.
+
+        Args:
+          module_state: per-env carry, leading dim = batch.
+          obs: observations pytree, leading dim = batch.
+          rollout_extras: ``None`` in ROLLOUT/INFERENCE; the stored
+            snapshot from ``Transition.rollout_extras`` in LOSS_REPLAY.
+        """
+
+    def initialize_state(self, batch_size: int) -> ModuleState:
+        """Fresh per-env carry with leading dim ``batch_size``."""
+        return ()
+
+    def reset_state(self, prev_state: ModuleState) -> ModuleState:
+        """Carry after an episode reset. Receives the previous carry so
+        reset-surviving leaves (PRNG keys) can be preserved."""
+        return prev_state
+
+    def update_statistics(self, rollout_extras: Any) -> "StatefulModule":
+        """Fold a rollout's worth of replay snapshots (``[T, B, ...]``
+        leaves) into running statistics. Functional: returns the updated
+        module. Default: no stats, returns self."""
+        del rollout_extras
+        return self
+
+    # -- mode switching (functional analogue of nnx .eval()/.train()) --
+
+    def eval(self) -> "StatefulModule":
+        """Deterministic-inference variant (samplers emit the mean)."""
+        return struct.tree_set_attr(self, "deterministic", True)
+
+    def train(self) -> "StatefulModule":
+        return struct.tree_set_attr(self, "deterministic", False)
+
+
+def split_per_env_keys(keys: jax.Array, num: int = 2) -> tuple[jax.Array, ...]:
+    """Split a ``[B]`` array of PRNG keys into ``num`` per-env subkey
+    arrays — the carry-state RNG advance used by stochastic layers."""
+    split = jax.vmap(lambda k: jax.random.split(k, num))(keys)
+    return tuple(split[:, i] for i in range(num))
+
+
+def make_per_env_keys(base_key: jax.Array, batch_size: int) -> jax.Array:
+    """Derive ``[batch_size]`` independent per-env keys from a base key."""
+    return jax.random.split(base_key, batch_size)
+
+
+def canonicalize_tree(obj: Any) -> Any:
+    """Recursively convert Mappings (OrderedDict/FrozenDict/...) to plain
+    dicts so pytree node types align (reference ``normalizer.py:18-32``)."""
+    from collections.abc import Mapping
+
+    if isinstance(obj, Mapping):
+        return {k: canonicalize_tree(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [canonicalize_tree(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(canonicalize_tree(v) for v in obj)
+    return obj
+
+
+def batch_zeros(shape_tree: Any, batch_size: int, dtype: Any = jnp.float32) -> Any:
+    """Zeros pytree with a prepended batch dim, from a shape pytree."""
+
+    def mk(shape: Any) -> jax.Array:
+        if isinstance(shape, int):
+            shape = (shape,)
+        return jnp.zeros((batch_size, *shape), dtype)
+
+    return jax.tree.map(mk, shape_tree, is_leaf=lambda x: isinstance(x, (tuple, int)))

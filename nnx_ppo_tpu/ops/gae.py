@@ -1,0 +1,168 @@
+"""Generalized Advantage Estimation.
+
+Semantics match the reference exactly (``nnx_ppo/algorithms/ppo.py:351-394``):
+
+* bootstrap value is zeroed where ``done`` (no value flows across a
+  terminal boundary),
+* the one-step advantage is zeroed where ``truncated`` (time-limit
+  truncations contribute no TD error of their own but still pass the
+  accumulated tail through the ``(1 - done)`` gate — ``done`` is also
+  set at truncations, so the tail is cut there too),
+* the result is ``stop_gradient`` ed.
+
+Two interchangeable implementations:
+
+* :func:`gae_scan` — ``jax.lax.scan`` reverse-time recurrence. XLA
+  compiles the whole [T] loop on-chip; fine for typical T≈20-100.
+* :func:`gae_pallas` — a single Pallas TPU kernel that keeps the
+  ``[T, B]`` buffers VMEM-resident and runs the reverse recurrence as
+  one fused loop over T with the batch axis vectorized on the VPU
+  (8×128 lanes). Removes per-step scan overhead and intermediate HBM
+  round-trips for large B.
+
+:func:`gae` dispatches: Pallas on TPU when shapes fit VMEM, scan
+otherwise. Both are used under ``stop_gradient`` so no VJP is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gae_step(carry, xs, *, lambda_, gamma):
+    next_advantage = carry
+    reward, old_value, next_value, done, truncated = xs
+    next_value = jnp.where(done, 0.0, next_value)
+    advantage = reward + gamma * next_value - old_value
+    advantage = jnp.where(truncated, 0.0, advantage)
+    gae_advantage = advantage + (1 - done) * gamma * lambda_ * next_advantage
+    return gae_advantage, gae_advantage
+
+
+def gae_scan(
+    rewards: jax.Array,
+    values_excl_last: jax.Array,
+    last_value: jax.Array,
+    done: jax.Array,
+    truncation: jax.Array,
+    lambda_,
+    gamma,
+) -> jax.Array:
+    """Reverse-time GAE via ``lax.scan``. Shapes: rewards/values/done/
+    truncation ``[T, B]``, last_value ``[B]`` → advantages ``[T, B]``."""
+    last_value = last_value.reshape((1, last_value.shape[0]))
+    values = jnp.concatenate((values_excl_last, last_value), axis=0)
+    assert values.shape == (rewards.shape[0] + 1, rewards.shape[1])
+
+    step = functools.partial(_gae_step, lambda_=lambda_, gamma=gamma)
+    _, advantages = jax.lax.scan(
+        step,
+        jnp.zeros(rewards.shape[1]),
+        (rewards, values[:-1], values[1:], done, truncation),
+        reverse=True,
+    )
+    return jax.lax.stop_gradient(advantages)
+
+
+def _gae_kernel(rewards_ref, values_ref, done_ref, trunc_ref, out_ref, *, lambda_, gamma):
+    """Pallas kernel: whole-[T,B] reverse recurrence in VMEM.
+
+    ``values_ref`` is ``[T+1, B]`` (bootstrap row appended). The batch
+    axis rides the VPU lanes; the T loop is a ``fori_loop`` running
+    backwards with the accumulated advantage held in registers.
+    """
+    T = rewards_ref.shape[0]
+
+    def body(i, next_advantage):
+        t = T - 1 - i
+        reward = rewards_ref[t, :]
+        old_value = values_ref[t, :]
+        next_value = values_ref[t + 1, :]
+        done = done_ref[t, :]
+        truncated = trunc_ref[t, :]
+        next_value = jnp.where(done != 0, 0.0, next_value)
+        advantage = reward + gamma * next_value - old_value
+        advantage = jnp.where(truncated != 0, 0.0, advantage)
+        gae_advantage = advantage + (1.0 - done) * gamma * lambda_ * next_advantage
+        out_ref[t, :] = gae_advantage
+        return gae_advantage
+
+    jax.lax.fori_loop(0, T, body, jnp.zeros((rewards_ref.shape[1],), jnp.float32))
+
+
+def gae_pallas(
+    rewards: jax.Array,
+    values_excl_last: jax.Array,
+    last_value: jax.Array,
+    done: jax.Array,
+    truncation: jax.Array,
+    lambda_,
+    gamma,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single fused TPU kernel for the full [T, B] GAE recurrence."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B = rewards.shape
+    # GAE is defined with stop_gradient on its result; cut tangents at the
+    # inputs so no JVP of the kernel is ever requested.
+    rewards, values_excl_last, last_value = jax.lax.stop_gradient(
+        (rewards, values_excl_last, last_value)
+    )
+    values = jnp.concatenate(
+        (values_excl_last, last_value.reshape(1, B)), axis=0
+    ).astype(jnp.float32)
+    kernel = functools.partial(
+        _gae_kernel, lambda_=float(lambda_), gamma=float(gamma)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, B), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        rewards.astype(jnp.float32),
+        values,
+        done.astype(jnp.float32),
+        truncation.astype(jnp.float32),
+    )
+    return jax.lax.stop_gradient(out)
+
+
+def _fits_vmem(T: int, B: int) -> bool:
+    # 5 [T,B] f32 buffers must fit comfortably in ~16 MB of VMEM.
+    return 5 * (T + 1) * B * 4 < 8 * 1024 * 1024
+
+
+def gae(
+    rewards: jax.Array,
+    values_excl_last: jax.Array,
+    last_value: jax.Array,
+    done: jax.Array,
+    truncation: jax.Array,
+    lambda_,
+    gamma,
+) -> jax.Array:
+    """GAE with automatic backend dispatch (Pallas on TPU, scan elsewhere).
+
+    API parity with reference ``gae`` (``ppo.py:351-394``).
+    """
+    T, B = rewards.shape
+    backend = jax.default_backend()
+    if backend == "tpu" and B % 128 == 0 and _fits_vmem(T, B):
+        return gae_pallas(
+            rewards, values_excl_last, last_value, done, truncation, lambda_, gamma
+        )
+    return gae_scan(
+        rewards, values_excl_last, last_value, done, truncation, lambda_, gamma
+    )

@@ -1,0 +1,16 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding
+tests run without TPU hardware (SURVEY §4: multi-host testing via
+``xla_force_host_platform_device_count``)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
