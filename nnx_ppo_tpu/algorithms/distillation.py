@@ -1,0 +1,492 @@
+"""Policy distillation (Rusu et al. 2015) — capability parity with
+reference ``nnx_ppo/algorithms/distillation.py``.
+
+1. Roll out the env with **student** actions; run the frozen teacher
+   alongside on the same observations.
+2. The teacher runs in eval (deterministic) mode, so its emitted
+   ``rollout_extras`` holds the teacher action *mean* at every sampler
+   position.
+3. Train the student to minimise the NLL of the teacher mean under the
+   student's distribution, by feeding the **teacher's** rollout_extras
+   into the student's loss replay (≡ minimising KL(teacher‖student) up
+   to H(teacher)).
+
+Constraint (as in the reference, ``distillation.py:23-27``): teacher
+and student must have isomorphic carry-state / rollout_extras trees.
+
+TPU notes: identical program structure to ``ppo_step`` — one donated
+jit program, ``lax.scan`` hot loops, optional data-parallel mesh with
+shard-local minibatch permutations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nnx_ppo_tpu.algorithms import rollout
+from nnx_ppo_tpu.algorithms.config import (
+    DistillationConfig,
+    DistillationTrainConfig,
+    DistillationTrainResult,
+    VideoData,
+)
+from nnx_ppo_tpu.algorithms.metrics import _log_metric
+from nnx_ppo_tpu.algorithms.ppo import _should_run, make_optimizer
+from nnx_ppo_tpu.algorithms.types import (
+    DistillationState,
+    DistillationTransition,
+    LoggingLevel,
+    RLEnv,
+)
+from nnx_ppo_tpu.core.struct import combine, partition_params, tree_where
+from nnx_ppo_tpu.networks.types import ModuleState, StatefulModule
+from nnx_ppo_tpu.parallel.mesh import constrain_time_batch, shard_training_state
+from nnx_ppo_tpu.parallel.permutation import minibatch_permutations
+
+
+def default_distillation_config() -> DistillationTrainConfig:
+    return DistillationTrainConfig()
+
+
+def distillation_single_transition(
+    env: RLEnv,
+    teacher: StatefulModule,
+    student: StatefulModule,
+    carry: tuple[ModuleState, ModuleState, Any],
+    rng_keys_for_env_reset: jax.Array,
+) -> tuple[tuple[ModuleState, ModuleState, Any], DistillationTransition]:
+    """One batched step: student acts, teacher observes; both extras are
+    recorded; both carries auto-reset on done (reference
+    ``distillation.py:67-117``)."""
+    student_state, teacher_state, env_state = carry
+
+    student_out = student(student_state, env_state.obs)
+    teacher_out = teacher(teacher_state, env_state.obs)
+
+    next_env_state = jax.vmap(env.step)(env_state, student_out.output.actions)
+    transition = DistillationTransition(
+        obs=env_state.obs,
+        student_output=student_out.output,
+        rewards=next_env_state.reward,
+        done=next_env_state.done.astype(bool),
+        truncated=next_env_state.info.get(
+            "truncated", jnp.zeros(next_env_state.done.shape, bool)
+        ).astype(bool),
+        next_obs=next_env_state.obs,
+        metrics={"env": next_env_state.metrics, "student": student_out.metrics},
+        student_rollout_extras=student_out.rollout_extras,
+        teacher_rollout_extras=teacher_out.rollout_extras,
+    )
+
+    done = transition.done
+    reset_env_states = jax.vmap(env.reset)(rng_keys_for_env_reset)
+    next_env_state = tree_where(done, reset_env_states, next_env_state)
+
+    next_student_state = tree_where(
+        done, student.reset_state(student_out.next_state), student_out.next_state
+    )
+    next_teacher_state = tree_where(
+        done, teacher.reset_state(teacher_out.next_state), teacher_out.next_state
+    )
+    return (next_student_state, next_teacher_state, next_env_state), transition
+
+
+def distillation_unroll_env(
+    env: RLEnv,
+    env_state: Any,
+    teacher: StatefulModule,
+    student: StatefulModule,
+    student_state: ModuleState,
+    teacher_state: ModuleState,
+    unroll_length: int,
+    rng_key_for_env_reset: jax.Array,
+):
+    """Scan :func:`distillation_single_transition` over T steps."""
+    batch_size = env_state.done.shape[0]
+    rng_keys = jax.random.split(rng_key_for_env_reset, (unroll_length, batch_size))
+    step = functools.partial(distillation_single_transition, env, teacher, student)
+    (
+        (final_student_state, final_teacher_state, final_env_state),
+        rollout_data,
+    ) = jax.lax.scan(step, (student_state, teacher_state, env_state), rng_keys)
+    return final_student_state, final_teacher_state, final_env_state, rollout_data
+
+
+def distillation_loss(
+    student_params: Any,
+    student_rest: Any,
+    student_state: ModuleState,
+    rollout_data: DistillationTransition,
+    logging_level: LoggingLevel,
+) -> tuple[jax.Array, dict[str, Any]]:
+    """NLL of the teacher mean under the student's distribution: replay
+    the student feeding the TEACHER's rollout_extras
+    (reference ``distillation.py:160-233``)."""
+    student = combine(student_params, student_rest)
+    rollout_data = jax.lax.stop_gradient(rollout_data)
+
+    def step_network(net_state, xs):
+        obs, done, teacher_extras = xs
+        out = student(net_state, obs, teacher_extras)
+        new_state = tree_where(done, student.reset_state(out.next_state), out.next_state)
+        return new_state, (out.output.loglikelihoods, out.regularization_loss)
+
+    _, (loglikelihoods, scanned_reg_loss) = jax.lax.scan(
+        step_network,
+        student_state,
+        (rollout_data.obs, rollout_data.done, rollout_data.teacher_rollout_extras),
+    )
+
+    per_head_nll = jax.tree.map(lambda ll: -jnp.mean(ll), loglikelihoods)
+    nll_loss = functools.reduce(jnp.add, jax.tree.leaves(per_head_nll))
+
+    # Student regularization (entropy, AR1, ...) is preserved; the
+    # teacher's is intentionally ignored.
+    regularization_losses = jax.tree.map(jnp.mean, scanned_reg_loss)
+    regularization_loss = functools.reduce(
+        jnp.add, jax.tree.leaves(regularization_losses), jnp.array(0.0)
+    )
+    total_loss = nll_loss + regularization_loss
+
+    loss_metrics: dict[str, Any] = {}
+    if LoggingLevel.LOSSES in logging_level:
+        loss_metrics["losses/distillation_nll"] = nll_loss
+        loss_metrics["losses/regularization"] = regularization_loss
+    return total_loss, loss_metrics
+
+
+def distillation_step(
+    env: RLEnv,
+    teacher: StatefulModule,
+    distillation_state: DistillationState,
+    config: DistillationConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> tuple[DistillationState, dict[str, Any]]:
+    """One distillation iteration as a single XLA program (reference
+    ``distillation.py:236-360``): dual rollout → E·M update scan →
+    student stat fold → deferred state commit."""
+    n_envs = config.n_envs
+    logging_level = config.logging_level
+    n_shards = 1 if mesh is None else mesh.shape["data"]
+
+    reset_key, new_key = jax.random.split(distillation_state.rng_key)
+    (
+        next_student_state,
+        next_teacher_state,
+        next_env_state,
+        rollout_data,
+    ) = distillation_unroll_env(
+        env,
+        distillation_state.env_states,
+        teacher,
+        distillation_state.student,
+        distillation_state.student_states,
+        distillation_state.teacher_states,
+        config.rollout_length,
+        reset_key,
+    )
+    rollout_data = constrain_time_batch(rollout_data, mesh)
+
+    params, student_rest = partition_params(distillation_state.student)
+    grad_fn = jax.grad(distillation_loss, has_aux=True)
+    all_indices = minibatch_permutations(
+        new_key, n_envs, config.n_epochs, config.n_minibatches, n_shards
+    )
+
+    def update_step(carry, inds):
+        params, opt_state = carry
+        minibatch_data = jax.tree.map(lambda x: x[:, inds], rollout_data)
+        student_state_subset = jax.tree.map(
+            lambda x: x[inds], distillation_state.student_states
+        )
+        grads, loss_metrics = grad_fn(
+            params,
+            student_rest,
+            student_state_subset,
+            minibatch_data,
+            logging_level,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss_metrics
+
+    (params, opt_state), loss_metrics = jax.lax.scan(
+        update_step, (params, distillation_state.opt_state), all_indices
+    )
+    student = combine(params, student_rest)
+
+    total_steps = distillation_state.steps_taken + config.rollout_length * n_envs
+    # Fold the student's own rollout extras into its running stats.
+    student = student.update_statistics(rollout_data.student_rollout_extras)
+
+    metrics: dict[str, Any] = {}
+    for k, v in loss_metrics.items():
+        _log_metric(metrics, k, v, config.logging_percentiles)
+    if LoggingLevel.TRAIN_ROLLOUT_STATS in logging_level:
+        _log_metric(
+            metrics, "rollout_batch/reward", rollout_data.rewards,
+            config.logging_percentiles,
+        )
+        _log_metric(
+            metrics, "rollout_batch/action", rollout_data.student_output.actions,
+            config.logging_percentiles,
+        )
+        metrics["rollout_batch/done_rate"] = rollout_data.done.mean()
+        metrics["rollout_batch/truncation_rate"] = rollout_data.truncated.mean()
+    if LoggingLevel.TRAINING_ENV_METRICS in logging_level:
+        for k, v in rollout_data.metrics.items():
+            _log_metric(metrics, k, v, config.logging_percentiles)
+    metrics["total_steps"] = total_steps
+
+    distillation_state = distillation_state.replace(
+        student=student,
+        opt_state=opt_state,
+        student_states=next_student_state,
+        teacher_states=next_teacher_state,
+        env_states=next_env_state,
+        rng_key=new_key,
+        steps_taken=total_steps,
+    )
+    return distillation_state, metrics
+
+
+def new_distillation_state(
+    env: RLEnv,
+    teacher: StatefulModule,
+    student: StatefulModule,
+    n_envs: int,
+    seed: int,
+    learning_rate: float = 1e-4,
+    gradient_clipping: Optional[float] = None,
+    weight_decay: Optional[float] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> DistillationState:
+    """Fresh DistillationState; the optimizer covers only the student's
+    trainable params (reference ``distillation.py:363-419``)."""
+    key = jax.random.key(seed)
+    key, training_key = jax.random.split(key)
+
+    env_init_keys = jax.random.split(key, n_envs)
+    env_states = jax.jit(jax.vmap(env.reset))(env_init_keys)
+    student_states = student.initialize_state(n_envs)
+    teacher_states = teacher.initialize_state(n_envs)
+
+    optimizer = make_optimizer(learning_rate, gradient_clipping, weight_decay)
+    params, _ = partition_params(student)
+    opt_state = optimizer.init(params)
+
+    state = DistillationState(
+        student=student,
+        student_states=student_states,
+        teacher_states=teacher_states,
+        env_states=env_states,
+        opt_state=opt_state,
+        rng_key=training_key,
+        steps_taken=jnp.array(0.0),
+    )
+    if mesh is not None:
+        from nnx_ppo_tpu.parallel.mesh import batch_sharded, replicated
+
+        def put(tree, sharding_fn):
+            return jax.tree.map(lambda x: jax.device_put(x, sharding_fn(x)), tree)
+
+        rep = lambda _: replicated(mesh)
+        bat = lambda x: (
+            batch_sharded(mesh)
+            if getattr(x, "ndim", 0) > 0 and x.shape[0] % mesh.shape["data"] == 0
+            else replicated(mesh)
+        )
+        state = DistillationState(
+            student=put(state.student, rep),
+            student_states=put(state.student_states, bat),
+            teacher_states=put(state.teacher_states, bat),
+            env_states=put(state.env_states, bat),
+            opt_state=put(state.opt_state, rep),
+            rng_key=jax.device_put(state.rng_key, replicated(mesh)),
+            steps_taken=jax.device_put(state.steps_taken, replicated(mesh)),
+        )
+    return state
+
+
+def train_distillation(
+    env: RLEnv,
+    teacher: StatefulModule,
+    student: StatefulModule,
+    config: Optional[DistillationTrainConfig] = None,
+    *,
+    total_steps: Optional[int] = None,
+    seed: Optional[int] = None,
+    log_fn: Optional[Callable[[dict[str, Any], int], None]] = None,
+    video_fn: Optional[Callable[[VideoData], None]] = None,
+    checkpoint_fn: Optional[Callable[[DistillationState, int], None]] = None,
+    eval_env: Optional[RLEnv] = None,
+    initial_state: Optional[DistillationState] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> DistillationTrainResult:
+    """Train a student by distillation from a frozen teacher (reference
+    ``distillation.py:422-603``)."""
+    if config is None:
+        config = default_distillation_config()
+    if total_steps is not None:
+        config = dataclasses.replace(
+            config,
+            distillation=dataclasses.replace(
+                config.distillation, total_steps=total_steps
+            ),
+        )
+    if seed is not None:
+        config = dataclasses.replace(config, seed=seed)
+    if eval_env is None:
+        eval_env = env
+
+    # Teacher runs deterministic so sampler extras == teacher mean.
+    teacher = teacher.eval()
+
+    if initial_state is None:
+        distillation_state = new_distillation_state(
+            env,
+            teacher,
+            student,
+            config.distillation.n_envs,
+            config.seed,
+            config.distillation.learning_rate,
+            config.distillation.gradient_clipping,
+            config.distillation.weight_decay,
+            mesh=mesh,
+        )
+    else:
+        distillation_state = initial_state
+    distillation_state = jax.tree.map(jnp.copy, distillation_state)
+
+    optimizer = make_optimizer(
+        config.distillation.learning_rate,
+        config.distillation.gradient_clipping,
+        config.distillation.weight_decay,
+    )
+    step_jit = jax.jit(
+        functools.partial(
+            distillation_step,
+            env,
+            teacher,
+            config=config.distillation,
+            optimizer=optimizer,
+            mesh=mesh,
+        ),
+        donate_argnums=(0,),
+    )
+    eval_rollout_jit = jax.jit(
+        functools.partial(
+            rollout.eval_rollout,
+            eval_env,
+            n_envs=config.eval.n_envs,
+            max_episode_length=config.eval.max_episode_length,
+            logging_percentiles=config.eval.logging_percentiles,
+        )
+    )
+    eval_render_jit = jax.jit(
+        functools.partial(
+            rollout.eval_rollout_for_render_scan,
+            eval_env,
+            max_episode_length=config.video.episode_length,
+        )
+    )
+
+    eval_history: list[dict[str, Any]] = []
+    last_eval_step = -config.eval.every_steps
+    last_video_step = -config.video.every_steps
+    last_checkpoint_step = -config.checkpoint_every_steps
+    metrics: dict[str, Any] = {}
+    n_iterations = 0
+
+    def run_eval(student_module: StatefulModule) -> dict[str, Any]:
+        eval_metrics = eval_rollout_jit(
+            student_module.eval(), key=jax.random.key(config.seed)
+        )
+        return {
+            k: float(v) if hasattr(v, "shape") and v.shape == () else v
+            for k, v in dict(eval_metrics).items()
+        }
+
+    def run_video(student_module: StatefulModule, steps: int, iteration: int):
+        if video_fn is None or not hasattr(eval_env, "render"):
+            return
+        render_key = jax.random.fold_in(jax.random.key(config.seed), iteration)
+        stacked_states, final_state, episode_reward = eval_render_jit(
+            student_module.eval(), key=render_key
+        )
+        trajectory = rollout.unstack_trajectory(
+            stacked_states, final_state, config.video.episode_length
+        )
+        frames = getattr(eval_env, "render")(
+            trajectory, **config.video.render_kwargs_dict
+        )
+        video_fn(
+            VideoData(
+                frames=np.stack(frames),
+                step=steps,
+                episode_reward=float(episode_reward),
+                episode_length=config.video.episode_length,
+            )
+        )
+
+    steps = int(distillation_state.steps_taken)
+    if config.eval.enabled:
+        eval_metrics = run_eval(distillation_state.student)
+        metrics.update(eval_metrics)
+        eval_history.append({"step": steps, **eval_metrics})
+        last_eval_step = steps
+    if config.video.enabled:
+        run_video(distillation_state.student, steps, n_iterations)
+        last_video_step = steps
+    if checkpoint_fn is not None and _should_run(
+        steps, last_checkpoint_step, config.checkpoint_every_steps
+    ):
+        checkpoint_fn(distillation_state, steps)
+        last_checkpoint_step = steps
+    if log_fn is not None and metrics:
+        log_fn(metrics, steps)
+
+    # Host-side step counting (no per-iteration device sync; see ppo.py).
+    steps_per_iter = config.distillation.n_envs * config.distillation.rollout_length
+    initial_steps = steps
+    while steps < config.distillation.total_steps:
+        distillation_state, metrics = step_jit(distillation_state)
+        n_iterations += 1
+        steps = initial_steps + n_iterations * steps_per_iter
+
+        if config.eval.enabled and _should_run(
+            steps, last_eval_step, config.eval.every_steps
+        ):
+            eval_metrics = run_eval(distillation_state.student)
+            metrics.update(eval_metrics)
+            eval_history.append({"step": steps, **eval_metrics})
+            last_eval_step = steps
+        if config.video.enabled and _should_run(
+            steps, last_video_step, config.video.every_steps
+        ):
+            run_video(distillation_state.student, steps, n_iterations)
+            last_video_step = steps
+        if checkpoint_fn is not None and _should_run(
+            steps, last_checkpoint_step, config.checkpoint_every_steps
+        ):
+            checkpoint_fn(distillation_state, steps)
+            last_checkpoint_step = steps
+        if log_fn is not None:
+            log_fn(metrics, steps)
+
+    return DistillationTrainResult(
+        training_state=distillation_state,
+        final_metrics=metrics,
+        eval_history=eval_history,
+        total_steps=int(distillation_state.steps_taken),
+        total_iterations=n_iterations,
+    )

@@ -502,12 +502,18 @@ def train_ppo(
     if log_fn is not None and metrics:
         log_fn(metrics, steps)
 
-    # Main training loop.
-    while int(training_state.steps_taken) < config.ppo.total_steps:
+    # Main training loop. Unlike the reference (which syncs on
+    # ``int(steps_taken)`` every iteration, ``ppo.py:209``), the step
+    # count is computed host-side — it advances by exactly
+    # n_envs·rollout_length per iteration — so with no due callbacks the
+    # host dispatches ahead and the device pipeline never drains.
+    steps_per_iter = config.ppo.n_envs * config.ppo.rollout_length
+    initial_steps = steps
+    while steps < config.ppo.total_steps:
         t0 = time.perf_counter() if measure_throughput else None
         training_state, metrics = ppo_step_jit(training_state)
         n_iterations += 1
-        steps = int(training_state.steps_taken)  # host-sync barrier
+        steps = initial_steps + n_iterations * steps_per_iter
         if measure_throughput:
             jax.block_until_ready(metrics)
             elapsed = time.perf_counter() - t0

@@ -5,8 +5,14 @@ from nnx_ppo_tpu.networks.factories import (
     make_mlp_actor_critic,
     make_mlp_layers,
 )
+from nnx_ppo_tpu.networks.delay import Delay
 from nnx_ppo_tpu.networks.feedforward import Dense
 from nnx_ppo_tpu.networks.normalizer import Normalizer
+from nnx_ppo_tpu.networks.recurrent import GRU, LSTM
+from nnx_ppo_tpu.networks.variational import (
+    AR1VariationalBottleneck,
+    VariationalBottleneck,
+)
 from nnx_ppo_tpu.networks.sampling_layers import ActionSampler, NormalTanhSampler
 from nnx_ppo_tpu.networks.types import (
     ModuleOutput,
@@ -18,9 +24,14 @@ from nnx_ppo_tpu.networks.types import (
 from nnx_ppo_tpu.networks.utils import Filter, Flattener, Map, Merge, Scale
 
 __all__ = [
+    "AR1VariationalBottleneck",
     "ActionSampler",
     "Concat",
+    "Delay",
     "Dense",
+    "GRU",
+    "LSTM",
+    "VariationalBottleneck",
     "Filter",
     "Flattener",
     "Map",

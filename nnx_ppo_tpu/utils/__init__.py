@@ -1,0 +1,3 @@
+from nnx_ppo_tpu.utils import profiling
+
+__all__ = ["profiling"]

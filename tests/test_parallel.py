@@ -1,0 +1,120 @@
+"""Data-parallel mesh tests: permutation structure, sharded-vs-single
+numeric parity of the full train step, and normalizer stat sync.
+
+Runs on the 8-virtual-device CPU backend set up in conftest.py
+(SURVEY §4: the multi-device testing the reference lacks).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnx_ppo_tpu.algorithms import (
+    PPOConfig,
+    make_optimizer,
+    new_training_state,
+)
+from nnx_ppo_tpu.algorithms.ppo import ppo_step
+from nnx_ppo_tpu.core.struct import partition_params
+from nnx_ppo_tpu.networks import Normalizer, make_mlp_actor_critic
+from nnx_ppo_tpu.parallel import make_mesh, minibatch_permutations
+from nnx_ppo_tpu.test_dummies import MoveToCenterEnv
+from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+
+class TestMinibatchPermutations:
+    def test_single_shard_is_full_permutation(self):
+        inds = minibatch_permutations(jax.random.key(0), 16, 3, 4, n_shards=1)
+        assert inds.shape == (12, 4)
+        for e in range(3):
+            epoch = np.asarray(inds[e * 4 : (e + 1) * 4]).ravel()
+            np.testing.assert_array_equal(np.sort(epoch), np.arange(16))
+
+    def test_sharded_stays_block_local(self):
+        n_envs, shards, M = 32, 4, 2
+        inds = minibatch_permutations(jax.random.key(0), n_envs, 2, M, n_shards=shards)
+        per_shard = n_envs // shards
+        k = per_shard // M
+        for row in np.asarray(inds):
+            # Each minibatch: equal share from every shard block, grouped.
+            for s in range(shards):
+                chunk = row[s * k : (s + 1) * k]
+                assert ((chunk >= s * per_shard) & (chunk < (s + 1) * per_shard)).all()
+
+    def test_sharded_covers_all_envs_per_epoch(self):
+        inds = minibatch_permutations(jax.random.key(1), 32, 1, 4, n_shards=4)
+        np.testing.assert_array_equal(np.sort(np.asarray(inds).ravel()), np.arange(32))
+
+    def test_epochs_differ(self):
+        inds = minibatch_permutations(jax.random.key(0), 64, 2, 1, n_shards=1)
+        assert not np.array_equal(inds[0], inds[1])
+
+    def test_divisibility_errors(self):
+        with pytest.raises(ValueError):
+            minibatch_permutations(jax.random.key(0), 10, 1, 4)
+        with pytest.raises(ValueError):
+            minibatch_permutations(jax.random.key(0), 12, 1, 4, n_shards=8)
+
+
+def _run_step(mesh, n_shards_for_perm_match):
+    """One ppo_step with E=M=1 (permutation-composition invariant), so
+    sharded and single-device runs are numerically comparable."""
+    env = EpisodeWrapper(MoveToCenterEnv(), 50)
+    net = make_mlp_actor_critic(
+        2, 2, [16, 16], [16, 16], jax.random.key(0), normalize_obs=True
+    )
+    config = PPOConfig(n_envs=32, rollout_length=6, n_epochs=1, n_minibatches=1)
+    opt = make_optimizer(config.learning_rate)
+    ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
+    step = jax.jit(
+        functools.partial(ppo_step, env, config=config, optimizer=opt, mesh=mesh)
+    )
+    ts, metrics = step(ts)
+    return ts, metrics
+
+
+class TestShardedParity:
+    def test_sharded_matches_single_device(self):
+        mesh = make_mesh(8)
+        ts_m, metrics_m = _run_step(mesh, 8)
+        ts_s, metrics_s = _run_step(None, 1)
+
+        p_m, _ = partition_params(ts_m.networks)
+        p_s, _ = partition_params(ts_s.networks)
+        for a, b in zip(jax.tree.leaves(p_m), jax.tree.leaves(p_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        np.testing.assert_allclose(
+            float(metrics_m["losses/actor/mean"]),
+            float(metrics_s["losses/actor/mean"]),
+            atol=1e-5,
+        )
+
+    def test_normalizer_stats_globally_synced(self):
+        mesh = make_mesh(8)
+        ts_m, _ = _run_step(mesh, 8)
+        ts_s, _ = _run_step(None, 1)
+        norm_m = ts_m.networks[0]
+        norm_s = ts_s.networks[0]
+        assert isinstance(norm_m, Normalizer)
+        assert float(norm_m.counter) == float(norm_s.counter) == 32 * 6
+        np.testing.assert_allclose(
+            np.asarray(norm_m.mean), np.asarray(norm_s.mean), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(norm_m.M2), np.asarray(norm_s.M2), rtol=1e-4, atol=1e-5
+        )
+
+    def test_state_sharding_layout(self):
+        mesh = make_mesh(8)
+        env = EpisodeWrapper(MoveToCenterEnv(), 50)
+        net = make_mlp_actor_critic(2, 2, [16], [16], jax.random.key(0))
+        ts = new_training_state(env, net, 32, seed=0, mesh=mesh)
+        # Env states sharded over data; params replicated.
+        env_sharding = ts.env_states.obs.sharding
+        assert env_sharding.spec[0] == "data"
+        p, _ = partition_params(ts.networks)
+        kernel = jax.tree.leaves(p)[0]
+        assert kernel.sharding.is_fully_replicated
