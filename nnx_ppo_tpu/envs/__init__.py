@@ -1,4 +1,17 @@
+from nnx_ppo_tpu.envs.chain import NLinkSwingup
 from nnx_ppo_tpu.envs.classic import CartpoleBalance, CartpoleSwingup, Pendulum
+from nnx_ppo_tpu.envs.locomotion import JoystickLocomotion
+from nnx_ppo_tpu.envs.mjx import MJX_AVAILABLE, MJXCartpoleBalance, MJXEnv
 from nnx_ppo_tpu.envs.types import State
 
-__all__ = ["CartpoleBalance", "CartpoleSwingup", "Pendulum", "State"]
+__all__ = [
+    "CartpoleBalance",
+    "CartpoleSwingup",
+    "Pendulum",
+    "JoystickLocomotion",
+    "NLinkSwingup",
+    "MJXEnv",
+    "MJXCartpoleBalance",
+    "MJX_AVAILABLE",
+    "State",
+]

@@ -66,7 +66,7 @@ class NormalTanhSampler(ActionSampler):
     def create(
         cls,
         key: jax.Array,
-        entropy_weight: float,
+        entropy_weight: float = 1e-2,
         min_std: float = 1e-3,
         std_scale: float = 1.0,
     ) -> "NormalTanhSampler":

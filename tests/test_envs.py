@@ -1,0 +1,192 @@
+"""Built-in env suite: protocol compliance, physics sanity, and PPO
+smoke tests for the analytic envs (classic / locomotion / chain) plus
+the import-gated MJX adapter."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
+from nnx_ppo_tpu.algorithms.ppo import ppo_step
+from nnx_ppo_tpu.algorithms.rollout import unroll_env
+from nnx_ppo_tpu.envs import (
+    MJX_AVAILABLE,
+    CartpoleBalance,
+    JoystickLocomotion,
+    NLinkSwingup,
+    Pendulum,
+)
+from nnx_ppo_tpu.networks import (
+    Concat,
+    Dense,
+    NormalTanhSampler,
+    Parallel,
+    PPOAdapter,
+    Sequential,
+    make_mlp,
+    make_mlp_actor_critic,
+)
+from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+
+def _ppo_smoke(env, networks, n_envs=8, rollout_length=5, n_steps=2, **cfg_kwargs):
+    cfg = PPOConfig(
+        n_envs=n_envs, rollout_length=rollout_length, n_epochs=2, n_minibatches=2,
+        **cfg_kwargs,
+    )
+    ts = new_training_state(env, networks, cfg.n_envs, seed=0)
+    opt = make_optimizer(cfg.learning_rate)
+    step = jax.jit(functools.partial(ppo_step, env, config=cfg, optimizer=opt))
+    metrics = None
+    for _ in range(n_steps):
+        ts, metrics = step(ts)
+    return ts, metrics
+
+
+class TestNLinkSwingup:
+    def test_shapes_and_protocol(self):
+        env = NLinkSwingup(n_links=3)
+        state = env.reset(jax.random.key(0))
+        assert state.obs.shape == (9,)
+        nxt = env.step(state, jnp.zeros(3))
+        assert nxt.obs.shape == (9,)
+        assert jnp.isfinite(nxt.reward)
+
+    def test_hanging_is_stable(self):
+        # Exactly hanging down with zero velocity and zero torque stays put.
+        env = NLinkSwingup(n_links=4)
+        state = env.reset(jax.random.key(0))
+        q = {"theta": jnp.full((4,), jnp.pi), "theta_dot": jnp.zeros(4)}
+        state = state.replace(data=q, obs=env._obs(q))
+        for _ in range(5):
+            state = env.step(state, jnp.zeros(4))
+        assert jnp.allclose(state.data["theta"], jnp.pi, atol=1e-4)
+        assert jnp.allclose(state.data["theta_dot"], 0.0, atol=1e-4)
+
+    def test_energy_bounded_without_torque(self):
+        # Damped passive dynamics: swing decays, never blows up.
+        env = NLinkSwingup(n_links=3)
+        state = env.reset(jax.random.key(1))
+        step = jax.jit(lambda s: env.step(s, jnp.zeros(3)))
+        for _ in range(50):
+            state = step(state)
+        assert jnp.all(jnp.isfinite(state.data["theta_dot"]))
+        assert jnp.all(jnp.abs(state.data["theta_dot"]) < 25.0)
+
+    def test_single_link_matches_pendulum_family(self):
+        # n_links=1 reduces to a classic pendulum: gravity torque alone
+        # accelerates a horizontal pole downward.
+        env = NLinkSwingup(n_links=1, damping=0.0)
+        q = {"theta": jnp.array([jnp.pi / 2]), "theta_dot": jnp.zeros(1)}
+        acc = env._accel(q["theta"], q["theta_dot"], jnp.zeros(1))
+        # M = m l^2, g_vec = -g l sin(pi/2) m  =>  acc = +g / l > 0
+        assert acc[0] > 0.0
+        assert jnp.allclose(acc[0], env.gravity / env.lengths[0], rtol=1e-5)
+
+    def test_vmapped_rollout_and_ppo_step(self):
+        env = EpisodeWrapper(NLinkSwingup(n_links=3), max_len=20)
+        net = make_mlp_actor_critic(
+            env.observation_size, env.action_size, [32], [32], jax.random.key(0)
+        )
+        ts, metrics = _ppo_smoke(env, net)
+        assert jnp.isfinite(metrics["losses/actor/mean"])
+        assert jnp.isfinite(metrics["losses/critic/mean"])
+
+
+def _joystick_net(key):
+    """Multi-stream network: per-stream Dense encoders → concat →
+    actor/critic (BASELINE config 3 shape)."""
+    env = JoystickLocomotion()
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    enc = Concat.create(
+        proprio=Dense.create(env.observation_size["proprio"], 32, k1, jax.nn.relu),
+        command=Dense.create(env.observation_size["command"], 32, k2, jax.nn.relu),
+    )
+    actor = Sequential.create(
+        [
+            Dense.create(64, 32, k3, jax.nn.relu),
+            Dense.create(32, 2 * env.action_size, k4),
+            NormalTanhSampler.create(k5),
+        ]
+    )
+    # Dict reward ⇒ dict value head (one critic per reward key).
+    critic = Parallel.create(
+        tracking=make_mlp([64, 32, 1], k6, jax.nn.relu, activation_last_layer=False),
+        penalty=make_mlp([64, 32, 1], k7, jax.nn.relu, activation_last_layer=False),
+    )
+    return Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
+
+
+class TestJoystickLocomotion:
+    def test_dict_obs_shapes(self):
+        env = JoystickLocomotion()
+        state = env.reset(jax.random.key(0))
+        assert state.obs["proprio"].shape == (14,)
+        assert state.obs["command"].shape == (3,)
+        assert set(state.reward) == {"tracking", "penalty"}
+
+    def test_tracking_reward_peaks_on_command(self):
+        env = JoystickLocomotion()
+        state = env.reset(jax.random.key(0))
+        q = dict(state.data)
+        q["vel"] = q["cmd"]  # perfect tracking
+        r = env._reward(q, jnp.zeros(8), jnp.zeros(8))
+        assert r["tracking"] > 0.99
+
+    def test_unroll_and_ppo_step_multistream(self):
+        env = EpisodeWrapper(JoystickLocomotion(), max_len=25)
+        net = _joystick_net(jax.random.key(0))
+        # One policy, dict rewards ⇒ team-summed advantages (the
+        # reference's combine_advantages path, ``ppo.py:460-474``).
+        ts, metrics = _ppo_smoke(env, net, combine_advantages=True)
+        assert jnp.isfinite(metrics["losses/actor/mean"])
+        # Dict reward → per-key critic losses.
+        assert "losses/critic/tracking/mean" in metrics
+        assert "losses/critic/penalty/mean" in metrics
+
+    def test_command_resample_uses_per_env_stream(self):
+        env = JoystickLocomotion(command_resample_prob=1.0)
+        state = env.reset(jax.random.key(0))
+        nxt = env.step(state, jnp.zeros(8))
+        # With prob 1 the command always resamples.
+        assert not jnp.allclose(nxt.data["cmd"], state.data["cmd"])
+
+
+class TestClassicRolloutJit:
+    def test_unroll_pendulum(self):
+        env = EpisodeWrapper(Pendulum(), max_len=10)
+        net = make_mlp_actor_critic(
+            env.observation_size, env.action_size, [16], [16], jax.random.key(0)
+        )
+        n_envs = 4
+        keys = jax.random.split(jax.random.key(1), n_envs)
+        env_states = jax.vmap(env.reset)(keys)
+        net_states = net.initialize_state(n_envs)
+        _, _, data = jax.jit(
+            lambda es, ns: unroll_env(env, es, net, ns, 6, jax.random.key(2))
+        )(env_states, net_states)
+        assert data.rewards.shape == (6, n_envs)
+        assert jnp.all(jnp.isfinite(data.rewards))
+
+
+@pytest.mark.skipif(not MJX_AVAILABLE, reason="mujoco-mjx not installed")
+class TestMJX:
+    def test_mjx_cartpole_rollout(self):
+        from nnx_ppo_tpu.envs import MJXCartpoleBalance
+
+        env = EpisodeWrapper(MJXCartpoleBalance(), max_len=20)
+        net = make_mlp_actor_critic(
+            env.observation_size, env.action_size, [16], [16], jax.random.key(0)
+        )
+        _ppo_smoke(env, net, n_envs=4, rollout_length=3, n_steps=1)
+
+
+def test_mjx_import_gate():
+    """Without mujoco-mjx, the adapter raises a clear ImportError."""
+    from nnx_ppo_tpu.envs import MJXEnv
+
+    if not MJX_AVAILABLE:
+        with pytest.raises(ImportError, match="mujoco-mjx"):
+            MJXEnv(None)
