@@ -24,7 +24,7 @@ import time
 import jax
 
 from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
-from nnx_ppo_tpu.algorithms.ppo import ppo_step
+from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
 from nnx_ppo_tpu.envs import CartpoleBalance
 from nnx_ppo_tpu.networks import make_mlp_actor_critic
 from nnx_ppo_tpu.parallel import make_mesh
@@ -32,8 +32,10 @@ from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
 N_ENVS = 1024
 ROLLOUT_LENGTH = 30
-WARMUP_ITERS = 3
-MEASURE_ITERS = 20
+STEPS_PER_CALL = 10  # PPO iterations fused per XLA program (amortizes
+                     # host dispatch; see PPOConfig.steps_per_call)
+WARMUP_ITERS = 2
+MEASURE_ITERS = 10
 
 
 def main() -> None:
@@ -63,22 +65,28 @@ def main() -> None:
     )
     step = jax.jit(
         functools.partial(
-            ppo_step, env, config=config, optimizer=optimizer, mesh=mesh
+            ppo_multi_step,
+            env,
+            config=config,
+            optimizer=optimizer,
+            n_steps=STEPS_PER_CALL,
+            mesh=mesh,
         ),
         donate_argnums=(0,),
     )
 
     for _ in range(WARMUP_ITERS):
         training_state, metrics = step(training_state)
-    jax.block_until_ready(training_state)
+    s0 = int(training_state.steps_taken)  # forced readout = honest barrier
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_ITERS):
         training_state, metrics = step(training_state)
-    jax.block_until_ready(training_state)
+    s1 = int(training_state.steps_taken)
     elapsed = time.perf_counter() - t0
+    assert s1 - s0 == N_ENVS * ROLLOUT_LENGTH * STEPS_PER_CALL * MEASURE_ITERS
 
-    sps = N_ENVS * ROLLOUT_LENGTH * MEASURE_ITERS / elapsed
+    sps = (s1 - s0) / elapsed
     print(
         json.dumps(
             {

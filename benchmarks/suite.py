@@ -1,0 +1,203 @@
+"""Benchmark suite: the five BASELINE.md configs, measured on whatever
+devices are visible (one real TPU chip under the driver; a fake
+N-device CPU mesh with ``JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=N``).
+
+Each config measures steady-state ``throughput/train_sps`` =
+n_envs · rollout_length / wall-clock per fused train step with
+``jax.block_until_ready`` barriers (the reference's methodology,
+``nnx_ppo/algorithms/ppo.py:210-214``).
+
+Run:  python benchmarks/suite.py [config-name ...]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
+from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
+from nnx_ppo_tpu.envs import CartpoleBalance, JoystickLocomotion, NLinkSwingup
+from nnx_ppo_tpu.networks import (
+    GRU,
+    Concat,
+    Dense,
+    NormalTanhSampler,
+    Parallel,
+    PPOAdapter,
+    Sequential,
+    make_mlp,
+    make_mlp_actor_critic,
+)
+from nnx_ppo_tpu.parallel import make_mesh
+from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+
+def _mlp_cartpole(compute_dtype=None):
+    env = EpisodeWrapper(CartpoleBalance(), max_len=500)
+    net = make_mlp_actor_critic(
+        env.observation_size, env.action_size, [64] * 4, [256] * 2,
+        jax.random.key(0), entropy_weight=1e-3, compute_dtype=compute_dtype,
+    )
+    return env, net, PPOConfig(n_envs=1024, rollout_length=30)
+
+
+def _gru_cartpole():
+    env = EpisodeWrapper(CartpoleBalance(), max_len=500)
+    k = jax.random.split(jax.random.key(0), 6)
+    actor = Sequential.create([
+        GRU.create(env.observation_size, 64, k[0]),
+        Dense.create(64, 2 * env.action_size, k[1]),
+        NormalTanhSampler.create(k[2], entropy_weight=1e-3),
+    ])
+    critic = Sequential.create([
+        GRU.create(env.observation_size, 64, k[3]),
+        Dense.create(64, 1, k[4]),
+    ])
+    net = PPOAdapter.create(action=actor, value=critic)
+    return env, net, PPOConfig(n_envs=1024, rollout_length=30)
+
+
+def _dict_obs_multistream():
+    env = EpisodeWrapper(JoystickLocomotion(), max_len=500)
+    k = jax.random.split(jax.random.key(0), 7)
+    enc = Concat.create(
+        proprio=Dense.create(
+            env.observation_size["proprio"], 64, k[0], jax.nn.relu
+        ),
+        command=Dense.create(env.observation_size["command"], 32, k[1], jax.nn.relu),
+    )
+    actor = Sequential.create([
+        Dense.create(96, 64, k[2], jax.nn.relu),
+        Dense.create(64, 2 * env.action_size, k[3]),
+        NormalTanhSampler.create(k[4], entropy_weight=1e-3),
+    ])
+    critic = Parallel.create(
+        tracking=make_mlp([96, 64, 1], k[5], activation_last_layer=False),
+        penalty=make_mlp([96, 64, 1], k[6], activation_last_layer=False),
+    )
+    net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
+    return env, net, PPOConfig(
+        n_envs=1024, rollout_length=30, combine_advantages=True
+    )
+
+
+def _locomotion_4096():
+    # Quadruped-class joystick task at 4096 envs with obs normalization
+    # (BASELINE config 4 shape; analytic substrate — see envs/locomotion.py).
+    env = EpisodeWrapper(JoystickLocomotion(), max_len=500)
+    k = jax.random.split(jax.random.key(0), 7)
+    enc = Concat.create(
+        proprio=Sequential.create([
+            Dense.create(env.observation_size["proprio"], 128, k[0], jax.nn.relu),
+        ]),
+        command=Dense.create(env.observation_size["command"], 32, k[1], jax.nn.relu),
+    )
+    actor = Sequential.create([
+        Dense.create(160, 128, k[2], jax.nn.relu),
+        Dense.create(128, 2 * env.action_size, k[3]),
+        NormalTanhSampler.create(k[4], entropy_weight=1e-3),
+    ])
+    critic = Parallel.create(
+        tracking=make_mlp([160, 128, 1], k[5], activation_last_layer=False),
+        penalty=make_mlp([160, 128, 1], k[6], activation_last_layer=False),
+    )
+    net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
+    return env, net, PPOConfig(
+        n_envs=4096, rollout_length=20, combine_advantages=True
+    )
+
+
+def _heavy_physics_8192():
+    # Articulated-body physics at 8192 envs (BASELINE config 5 class:
+    # mass-matrix assembly + Cholesky solve per env per substep).
+    env = EpisodeWrapper(NLinkSwingup(n_links=5), max_len=500)
+    net = make_mlp_actor_critic(
+        env.observation_size, env.action_size, [256, 256], [256, 256],
+        jax.random.key(0), entropy_weight=1e-3,
+    )
+    return env, net, PPOConfig(n_envs=8192, rollout_length=20)
+
+
+CONFIGS = {
+    "cartpole_mlp": _mlp_cartpole,
+    "cartpole_mlp_bf16": functools.partial(_mlp_cartpole, compute_dtype="bfloat16"),
+    "cartpole_gru": _gru_cartpole,
+    "dict_obs_multistream": _dict_obs_multistream,
+    "locomotion_4096": _locomotion_4096,
+    "heavy_physics_8192": _heavy_physics_8192,
+}
+
+
+STEPS_PER_CALL = 10
+
+
+def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
+    import jax.numpy as jnp
+
+    env, net, config = CONFIGS[name]()
+    n_devices = len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    optimizer = make_optimizer(config.learning_rate)
+    ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
+    step = jax.jit(
+        functools.partial(
+            ppo_multi_step, env, config=config, optimizer=optimizer,
+            n_steps=STEPS_PER_CALL, mesh=mesh,
+        ),
+        donate_argnums=(0,),
+    )
+    t_compile = time.perf_counter()
+    for _ in range(warmup):
+        ts, metrics = step(ts)
+    s0 = int(ts.steps_taken)  # forced scalar readout = honest barrier
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, metrics = step(ts)
+    # Derive throughput from the device-side step counter behind a forced
+    # scalar readout — block_until_ready alone has been observed to
+    # return early on tunneled runtimes.
+    s1 = int(ts.steps_taken)
+    elapsed = time.perf_counter() - t0
+    assert s1 - s0 == config.n_envs * config.rollout_length * STEPS_PER_CALL * iters
+    sps = (s1 - s0) / elapsed
+    actor_loss = float(metrics["losses/actor/mean"])
+    assert jnp.isfinite(actor_loss)
+    return {
+        "config": name,
+        "train_sps": round(sps),
+        "n_envs": config.n_envs,
+        "rollout_length": config.rollout_length,
+        "n_devices": n_devices,
+        "warmup_s": round(compile_s, 1),
+        "device": jax.devices()[0].device_kind,
+    }
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(CONFIGS)
+    if len(names) == 1:
+        print(json.dumps(bench(names[0])), flush=True)
+        return
+    # One subprocess per config: live executables/buffers from an earlier
+    # config degrade later in-process measurements by 10-50x (observed on
+    # the tunneled single-chip setup), so isolate each run.
+    import subprocess
+
+    for name in names:
+        subprocess.run([sys.executable, __file__, name], check=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,18 @@ class PPOConfig:
     weight_decay: Optional[float] = None
     logging_level: LoggingLevel = LoggingLevel.LOSSES
     logging_percentiles: Optional[tuple[int, ...]] = None
+    # Run the loss replay as one batched [T·B] forward instead of a
+    # sequential T-step scan when the network is replay-time-static
+    # (bitwise-identical losses; see StatefulModule.replay_time_static).
+    # Networks with real temporal carries (LSTM/GRU/Delay/AR1/graphs)
+    # automatically fall back to the exact scan path.
+    fused_replay: bool = True
+    # Fuse this many PPO iterations into one XLA program (lax.scan over
+    # the train step). Amortizes per-program host-dispatch latency —
+    # dominant on remote/tunneled TPU runtimes once the device step is
+    # sub-millisecond. Metrics/callbacks then run once per *call*
+    # (every steps_per_call · n_envs · rollout_length env steps).
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)
@@ -95,6 +107,8 @@ class DistillationConfig:
     weight_decay: Optional[float] = None
     logging_level: LoggingLevel = LoggingLevel.LOSSES
     logging_percentiles: Optional[tuple[int, ...]] = None
+    # Time-fused student replay (see PPOConfig.fused_replay).
+    fused_replay: bool = True
 
 
 @dataclass(frozen=True)

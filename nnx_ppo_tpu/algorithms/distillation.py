@@ -126,24 +126,45 @@ def distillation_loss(
     student_state: ModuleState,
     rollout_data: DistillationTransition,
     logging_level: LoggingLevel,
+    fused_replay: bool = False,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """NLL of the teacher mean under the student's distribution: replay
     the student feeding the TEACHER's rollout_extras
-    (reference ``distillation.py:160-233``)."""
+    (reference ``distillation.py:160-233``).
+
+    ``fused_replay`` batches the [T] replay into one forward when the
+    student is replay-time-static (see ``ppo.ppo_loss``)."""
+    from nnx_ppo_tpu.algorithms.ppo import _expand_state_over_time
+
     student = combine(student_params, student_rest)
     rollout_data = jax.lax.stop_gradient(rollout_data)
 
-    def step_network(net_state, xs):
-        obs, done, teacher_extras = xs
-        out = student(net_state, obs, teacher_extras)
-        new_state = tree_where(done, student.reset_state(out.next_state), out.next_state)
-        return new_state, (out.output.loglikelihoods, out.regularization_loss)
+    if fused_replay and student.replay_time_static:
+        unroll_length = jax.tree.leaves(rollout_data.done)[0].shape[0]
+        state_t = _expand_state_over_time(student_state, unroll_length)
 
-    _, (loglikelihoods, scanned_reg_loss) = jax.lax.scan(
-        step_network,
-        student_state,
-        (rollout_data.obs, rollout_data.done, rollout_data.teacher_rollout_extras),
-    )
+        def forward_t(net_state, obs, extras):
+            out = student(net_state, obs, extras)
+            return out.output.loglikelihoods, out.regularization_loss
+
+        loglikelihoods, scanned_reg_loss = jax.vmap(forward_t)(
+            state_t, rollout_data.obs, rollout_data.teacher_rollout_extras
+        )
+    else:
+
+        def step_network(net_state, xs):
+            obs, done, teacher_extras = xs
+            out = student(net_state, obs, teacher_extras)
+            new_state = tree_where(
+                done, student.reset_state(out.next_state), out.next_state
+            )
+            return new_state, (out.output.loglikelihoods, out.regularization_loss)
+
+        _, (loglikelihoods, scanned_reg_loss) = jax.lax.scan(
+            step_network,
+            student_state,
+            (rollout_data.obs, rollout_data.done, rollout_data.teacher_rollout_extras),
+        )
 
     per_head_nll = jax.tree.map(lambda ll: -jnp.mean(ll), loglikelihoods)
     nll_loss = functools.reduce(jnp.add, jax.tree.leaves(per_head_nll))
@@ -214,6 +235,7 @@ def distillation_step(
             student_state_subset,
             minibatch_data,
             logging_level,
+            fused_replay=config.fused_replay,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -73,9 +73,17 @@ def make_optimizer(
     learning_rate: float,
     gradient_clipping: Optional[float] = None,
     weight_decay: Optional[float] = None,
+    flatten: bool = False,
 ) -> optax.GradientTransformation:
     """The optax chain used by the trainer (reference ``ppo.py:555-569``):
-    optional global-norm clipping + adam (or adamw when weight_decay)."""
+    optional global-norm clipping + adam (or adamw when weight_decay).
+
+    ``flatten=True`` wraps the chain in ``optax.flatten``: moment/param
+    updates run on one concatenated vector instead of one kernel per
+    param leaf. Measured device-time-neutral for small MLPs (the tiny
+    adam kernels overlap other work); consider it for networks with
+    hundreds of param leaves (e.g. large PopulationGraphs). Requires a
+    non-empty param tree."""
     links = []
     if gradient_clipping is not None:
         links.append(optax.clip_by_global_norm(gradient_clipping))
@@ -87,7 +95,8 @@ def make_optimizer(
         links.append(
             optax.adamw(learning_rate=learning_rate, weight_decay=weight_decay)
         )
-    return optax.chain(*links)
+    opt = optax.chain(*links)
+    return optax.flatten(opt) if flatten else opt
 
 
 def new_training_state(
@@ -99,10 +108,15 @@ def new_training_state(
     gradient_clipping: Optional[float] = None,
     weight_decay: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    optimizer: Optional[optax.GradientTransformation] = None,
 ) -> TrainingState:
     """Fresh TrainingState (reference ``ppo.py:534-572``): split seed,
     vmapped env reset over n_envs, per-env network carries, optax init.
-    With a mesh, the state is placed sharded (env axis on ``data``)."""
+    With a mesh, the state is placed sharded (env axis on ``data``).
+
+    Pass ``optimizer`` explicitly when using a non-default optax chain —
+    the ``opt_state`` initialized here must match the optimizer later
+    given to ``ppo_step``."""
     key = jax.random.key(seed)
     key, training_key = jax.random.split(key)
 
@@ -110,7 +124,8 @@ def new_training_state(
     env_states = jax.jit(jax.vmap(env.reset))(env_init_keys)
     network_states = networks.initialize_state(n_envs)
 
-    optimizer = make_optimizer(learning_rate, gradient_clipping, weight_decay)
+    if optimizer is None:
+        optimizer = make_optimizer(learning_rate, gradient_clipping, weight_decay)
     params, _ = partition_params(networks)
     opt_state = optimizer.init(params)
 
@@ -185,6 +200,7 @@ def ppo_step(
             gae_lambda=config.gae_lambda,
             critic_loss_weight=config.critic_loss_weight,
             logging_level=logging_level,
+            fused_replay=config.fused_replay,
         )
         if LoggingLevel.GRAD_NORM in logging_level:
             loss_metrics["grad_norm"] = optax.global_norm(grads)
@@ -221,6 +237,51 @@ def ppo_step(
     return training_state, metrics
 
 
+def _expand_state_over_time(network_state: Any, unroll_length: int) -> Any:
+    """Per-step carry trees ``[T, ...]`` for the time-fused replay.
+
+    PRNG-key leaves get a distinct subkey per step (split once, batched);
+    all other leaves are broadcast unchanged — legal because a
+    replay-time-static network never reads carry values in replay."""
+
+    def expand(leaf: jax.Array) -> jax.Array:
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            split = jax.vmap(lambda k: jax.random.split(k, unroll_length))(leaf)
+            return jnp.swapaxes(split, 0, 1)  # [T, B]
+        return jnp.broadcast_to(leaf[None], (unroll_length, *leaf.shape))
+
+    return jax.tree.map(expand, network_state)
+
+
+def ppo_multi_step(
+    env: RLEnv,
+    training_state: TrainingState,
+    config: PPOConfig,
+    optimizer: optax.GradientTransformation,
+    n_steps: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> tuple[TrainingState, dict[str, Any]]:
+    """``n_steps`` PPO iterations fused into ONE XLA program.
+
+    Host dispatch costs ~1 ms per program on remote/tunneled TPU
+    runtimes; at sub-ms device step times that dominates. Scanning the
+    train step amortizes it ``n_steps``× (the TPU-native analogue of the
+    reference's dispatch-ahead host loop). Returns the metrics of the
+    *last* iteration (device-side metric history would grow the output
+    payload; eval cadence owns curve logging)."""
+
+    def body(ts, _):
+        ts, metrics = ppo_step(env, ts, config, optimizer, mesh)
+        return ts, None
+
+    # Run n_steps - 1 without metrics, final step with metrics: XLA DCEs
+    # the metric computations in the scanned body.
+    training_state, _ = jax.lax.scan(
+        body, training_state, None, length=n_steps - 1
+    )
+    return ppo_step(env, training_state, config, optimizer, mesh)
+
+
 def ppo_loss(
     params: Any,
     net_rest: Any,
@@ -233,28 +294,52 @@ def ppo_loss(
     gae_lambda: float,
     critic_loss_weight: float,
     logging_level: LoggingLevel,
+    fused_replay: bool = False,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Clipped-surrogate PPO loss with replay (reference
     ``ppo.py:397-531``): re-run the network over [T] feeding stored
     ``rollout_extras``; reset carries per-env on ``done`` inside the
     scan; bootstrap the T+1 value with ``rollout_extras=None``; per-
     reward-key GAE; optional team-summed advantages; advantage
-    normalization; 0.5·MSE critic; module regularization losses."""
+    normalization; 0.5·MSE critic; module regularization losses.
+
+    When ``fused_replay`` is set and the network is replay-time-static
+    (``StatefulModule.replay_time_static``), the [T] replay runs as one
+    batched forward (``vmap`` over time) instead of a sequential scan:
+    T× fewer kernel dispatches and T× larger MXU matmuls, with
+    bitwise-identical losses (all stochastic draws are snapshotted in
+    the stored extras)."""
     networks = combine(params, net_rest)
     rollout_data = jax.lax.stop_gradient(rollout_data)
 
-    def step_network(net_state, xs):
-        obs, done, extras = xs
-        out = networks(net_state, obs, extras)
-        reset_states = networks.reset_state(out.next_state)
-        new_net_state = tree_where(done, reset_states, out.next_state)
-        return new_net_state, (out.output, out.regularization_loss)
+    if fused_replay and networks.replay_time_static:
+        unroll_length = jax.tree.leaves(rollout_data.done)[0].shape[0]
+        state_t = _expand_state_over_time(network_state, unroll_length)
 
-    final_net_state, (network_output, scanned_reg_loss) = jax.lax.scan(
-        step_network,
-        network_state,
-        (rollout_data.obs, rollout_data.done, rollout_data.rollout_extras),
-    )
+        def forward_t(net_state, obs, extras):
+            out = networks(net_state, obs, extras)
+            return out.output, out.regularization_loss
+
+        network_output, scanned_reg_loss = jax.vmap(forward_t)(
+            state_t, rollout_data.obs, rollout_data.rollout_extras
+        )
+        # Bootstrap from the pre-rollout carry: a replay-time-static
+        # network's value estimates don't depend on carry values.
+        final_net_state = network_state
+    else:
+
+        def step_network(net_state, xs):
+            obs, done, extras = xs
+            out = networks(net_state, obs, extras)
+            reset_states = networks.reset_state(out.next_state)
+            new_net_state = tree_where(done, reset_states, out.next_state)
+            return new_net_state, (out.output, out.regularization_loss)
+
+        final_net_state, (network_output, scanned_reg_loss) = jax.lax.scan(
+            step_network,
+            network_state,
+            (rollout_data.obs, rollout_data.done, rollout_data.rollout_extras),
+        )
 
     last_obs = jax.tree.map(lambda x: x[-1], rollout_data.next_obs)
     # T+1 bootstrap: rollout_extras=None → samplers take the fresh-sample
@@ -409,12 +494,25 @@ def train_ppo(
         config.ppo.weight_decay,
     )
 
-    ppo_step_jit = jax.jit(
-        functools.partial(
-            ppo_step, env, config=config.ppo, optimizer=optimizer, mesh=mesh
-        ),
-        donate_argnums=(0,),
-    )
+    if config.ppo.steps_per_call > 1:
+        ppo_step_jit = jax.jit(
+            functools.partial(
+                ppo_multi_step,
+                env,
+                config=config.ppo,
+                optimizer=optimizer,
+                n_steps=config.ppo.steps_per_call,
+                mesh=mesh,
+            ),
+            donate_argnums=(0,),
+        )
+    else:
+        ppo_step_jit = jax.jit(
+            functools.partial(
+                ppo_step, env, config=config.ppo, optimizer=optimizer, mesh=mesh
+            ),
+            donate_argnums=(0,),
+        )
     eval_rollout_jit = jax.jit(
         functools.partial(
             rollout.eval_rollout,
@@ -507,7 +605,9 @@ def train_ppo(
     # count is computed host-side — it advances by exactly
     # n_envs·rollout_length per iteration — so with no due callbacks the
     # host dispatches ahead and the device pipeline never drains.
-    steps_per_iter = config.ppo.n_envs * config.ppo.rollout_length
+    steps_per_iter = (
+        config.ppo.n_envs * config.ppo.rollout_length * config.ppo.steps_per_call
+    )
     initial_steps = steps
     while steps < config.ppo.total_steps:
         t0 = time.perf_counter() if measure_throughput else None
@@ -517,9 +617,7 @@ def train_ppo(
         if measure_throughput:
             jax.block_until_ready(metrics)
             elapsed = time.perf_counter() - t0
-            metrics["throughput/train_sps"] = (
-                config.ppo.n_envs * config.ppo.rollout_length / elapsed
-            )
+            metrics["throughput/train_sps"] = steps_per_iter / elapsed
 
         if config.eval.enabled and _should_run(
             steps, last_eval_step, config.eval.every_steps

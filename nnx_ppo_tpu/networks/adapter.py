@@ -95,6 +95,10 @@ class PPOAdapter(StatefulModule):
             "value": self.value.initialize_state(batch_size),
         }
 
+    @property
+    def replay_time_static(self) -> bool:
+        return self.action.replay_time_static and self.value.replay_time_static
+
     def reset_state(self, prev_state) -> ModuleState:
         return {
             "action": self.action.reset_state(prev_state["action"]),

@@ -83,6 +83,10 @@ class Sequential(StatefulModule):
     def __len__(self) -> int:
         return len(self.layers)
 
+    @property
+    def replay_time_static(self) -> bool:
+        return all(layer.replay_time_static for layer in self.layers)
+
 
 class _NamedContainer(StatefulModule):
     """Shared routing for dict-keyed containers."""
@@ -122,6 +126,10 @@ class _NamedContainer(StatefulModule):
 
     def __getitem__(self, key: str) -> StatefulModule:
         return self.components[key]
+
+    @property
+    def replay_time_static(self) -> bool:
+        return all(c.replay_time_static for c in self.components.values())
 
 
 @pytree_dataclass
@@ -196,3 +204,7 @@ class Splitter(StatefulModule):
             outputs[key] = x[..., offset : offset + size]
             offset += size
         return ModuleOutput((), outputs, jnp.array(0.0), {}, None)
+
+    @property
+    def replay_time_static(self) -> bool:
+        return True

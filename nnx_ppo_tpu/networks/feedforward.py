@@ -73,3 +73,7 @@ class Dense(StatefulModule):
         if self.activation is not None:
             y = self.activation(y)
         return ModuleOutput((), y, jnp.array(0.0), {}, None)
+
+    @property
+    def replay_time_static(self) -> bool:
+        return True

@@ -75,6 +75,10 @@ class Normalizer(StatefulModule):
         # folds the [T, B, ...] history after the gradient phase.
         return ModuleOutput((), output, jnp.array(0.0), {}, rollout_extras=x)
 
+    @property
+    def replay_time_static(self) -> bool:
+        return True
+
     def update_statistics(self, rollout_extras: Any) -> "Normalizer":
         """One batched Welford merge of the ``[T, B, *feat]`` history.
 

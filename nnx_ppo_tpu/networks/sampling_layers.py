@@ -6,9 +6,12 @@ Sampler behaviour is driven by ``rollout_extras``:
 * ``rollout_extras is None`` (ROLLOUT / INFERENCE): sample fresh and
   emit ``stop_gradient(raw_action)`` as the replay snapshot.
 * ``rollout_extras is not None`` (LOSS_REPLAY): reuse the stored raw
-  action for the log-likelihood under the *current* policy — but the
-  RNG still advances so downstream stochastic layers stay in lockstep
-  with the rollout (reference ``sampling_layers.py:92-101``).
+  action for the log-likelihood under the *current* policy and the
+  stored entropy noise for the entropy estimate. The key *split* still
+  happens so the carry chain stays in lockstep with the rollout
+  (reference ``sampling_layers.py:92-101``), but no random draw is
+  consumed — replay is RNG-free, enabling the time-fused replay path
+  (``StatefulModule.replay_time_static``).
 
 The ``deterministic`` flag (set functionally by ``network.eval()``)
 returns the distribution mean instead of sampling — orthogonal to
@@ -94,32 +97,47 @@ class NormalTanhSampler(ActionSampler):
         mean, std = jnp.split(mean_and_std, 2, axis=-1)
         std = (jax.nn.softplus(std) + self.min_std) * self.std_scale
 
-        # Draw noise even in replay / deterministic mode so the key
-        # advance (and any downstream per-env streams) stay in lockstep.
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
-        )(action_keys)
-        if self.deterministic:
-            sampled_action = mean
-        else:
-            sampled_action = mean + std * noise
-
         if rollout_extras is None:
+            # ROLLOUT / INFERENCE: draw fresh noise from the carry keys
+            # and snapshot everything replay needs into the extras.
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
+            )(action_keys)
+            if self.deterministic:
+                sampled_action = mean
+            else:
+                sampled_action = mean + std * noise
             raw_action = jax.lax.stop_gradient(sampled_action)
+            entropy_noise = jax.vmap(
+                lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
+            )(entropy_keys)
         else:
-            raw_action = rollout_extras
+            # LOSS_REPLAY: consume the stored snapshot; no RNG is used,
+            # which makes this module replay-time-static (see
+            # ``StatefulModule.replay_time_static``).
+            raw_action = rollout_extras["raw_action"]
+            entropy_noise = rollout_extras["entropy_noise"]
 
         action = jnp.tanh(raw_action)
         loglikelihood = self._loglikelihood(raw_action, mean, std)
-        entropy_cost = -self.entropy_weight * self._entropy(mean, std, entropy_keys)
+        entropy_cost = -self.entropy_weight * self._entropy(
+            mean, std, entropy_noise
+        )
 
         return ModuleOutput(
             next_state=next_keys,
             output={"action": action, "log_likelihood": loglikelihood},
             regularization_loss=entropy_cost,
             metrics={"mu": mean, "sigma": std},
-            rollout_extras=raw_action,
+            rollout_extras={
+                "raw_action": raw_action,
+                "entropy_noise": jax.lax.stop_gradient(entropy_noise),
+            },
         )
+
+    @property
+    def replay_time_static(self) -> bool:
+        return True
 
     def _loglikelihood(
         self, raw_action: jax.Array, mean: jax.Array, std: jax.Array
@@ -134,12 +152,12 @@ class NormalTanhSampler(ActionSampler):
         return jnp.sum(log_prob, axis=-1)
 
     def _entropy(
-        self, mean: jax.Array, std: jax.Array, entropy_keys: jax.Array
+        self, mean: jax.Array, std: jax.Array, noise: jax.Array
     ) -> jax.Array:
+        """Single-sample MC estimate of the tanh-Normal entropy; the
+        noise is drawn at rollout time and stored in the extras so the
+        replay estimate is bitwise-identical (and RNG-free)."""
         normal_entropy = 0.5 + 0.5 * jnp.log(2.0 * jnp.pi) + jnp.log(std)
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
-        )(entropy_keys)
         z = mean + std * jax.lax.stop_gradient(noise)
         log_det_jacobian = 2.0 * (jnp.log(2.0) - z - jax.nn.softplus(-2.0 * z))
         return jnp.sum(normal_entropy + log_det_jacobian, axis=-1)

@@ -116,6 +116,28 @@ class StatefulModule(abc.ABC):
         del rollout_extras
         return self
 
+    @property
+    def replay_time_static(self) -> bool:
+        """True iff in LOSS_REPLAY mode (``rollout_extras is not None``)
+        this module's ``output`` and ``regularization_loss`` depend only
+        on (params, input, stored extras) — *not* on carry values.
+
+        When every module in a network is replay-time-static, the PPO
+        loss replay runs as ONE batched ``[T·B]`` forward (``vmap`` over
+        time) instead of a T-step sequential scan — the single biggest
+        latency win in the update phase on TPU (T× fewer kernel
+        dispatches, T× larger MXU matmuls). Modules achieve this by
+        snapshotting *all* stochastic draws into ``rollout_extras``
+        (e.g. the sampler stores its entropy noise, the variational
+        bottleneck its reparameterization eps), so replay never touches
+        the carry RNG chain.
+
+        Default False (conservative): genuinely recurrent modules
+        (LSTM/GRU/Delay/AR1/PopulationGraph) and unknown user modules
+        keep the exact sequential scan path.
+        """
+        return False
+
     # -- mode switching (functional analogue of nnx .eval()/.train()) --
 
     def eval(self) -> "StatefulModule":

@@ -41,6 +41,10 @@ class Flattener(StatefulModule):
             (), _flatten_at_depth(x, self.preserve_levels), jnp.array(0.0), {}, None
         )
 
+    @property
+    def replay_time_static(self) -> bool:
+        return True
+
 
 def _flatten_at_depth(x: Any, preserve_levels: int) -> Any:
     if preserve_levels == 0:
@@ -96,6 +100,10 @@ class Filter(StatefulModule):
                 output[out_key] = sub(x)
         return ModuleOutput((), output, jnp.array(0.0), {}, None)
 
+    @property
+    def replay_time_static(self) -> bool:
+        return True
+
 
 @pytree_dataclass
 class Scale(StatefulModule):
@@ -112,6 +120,10 @@ class Scale(StatefulModule):
         return ModuleOutput(
             state, jax.tree.map(lambda v: v * self.factor, x), jnp.array(0.0), {}, None
         )
+
+    @property
+    def replay_time_static(self) -> bool:
+        return True
 
 
 @pytree_dataclass

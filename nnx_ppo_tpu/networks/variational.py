@@ -50,10 +50,9 @@ class VariationalBottleneck(StatefulModule):
             min_std=min_std,
         )
 
-    def _sample(self, keys: jax.Array, x: jax.Array):
+    def _sample(self, eps: jax.Array, x: jax.Array):
         mean, log_std = jnp.split(x, 2, axis=-1)
         std = jax.nn.softplus(log_std) + self.min_std
-        eps = jax.vmap(lambda k: jax.random.normal(k, (self.latent_size,)))(keys)
         z = mean + std * eps
         kl_per_dim = 0.5 * (
             jnp.square(mean) + jnp.square(std) - 2 * jnp.log(std) - 1
@@ -63,14 +62,28 @@ class VariationalBottleneck(StatefulModule):
 
     def __call__(self, state: jax.Array, x, rollout_extras: Any = None) -> ModuleOutput:
         next_keys, sample_keys = split_per_env_keys(state, 2)
-        mean, std, z, kl_divergence = self._sample(sample_keys, x)
+        if rollout_extras is None:
+            eps = jax.vmap(
+                lambda k: jax.random.normal(k, (self.latent_size,))
+            )(sample_keys)
+        else:
+            # LOSS_REPLAY: the reparameterization noise is snapshotted in
+            # the extras, so replay reproduces the rollout's z exactly
+            # (with gradients through mean/std) without touching the
+            # carry RNG chain — this module is replay-time-static.
+            eps = rollout_extras
+        mean, std, z, kl_divergence = self._sample(eps, x)
         return ModuleOutput(
             next_state=next_keys,
             output=z,
             regularization_loss=self.kl_weight * kl_divergence,
             metrics={"mu": mean, "sigma": std, "kl_divergence": kl_divergence},
-            rollout_extras=None,
+            rollout_extras=jax.lax.stop_gradient(eps),
         )
+
+    @property
+    def replay_time_static(self) -> bool:
+        return True
 
     def initialize_state(self, batch_size: int) -> jax.Array:
         return make_per_env_keys(self.base_key, batch_size)

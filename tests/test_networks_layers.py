@@ -119,7 +119,7 @@ class TestNormalTanhSampler:
         sub = sampler(
             jax.tree.map(lambda s: s[inds], state),
             x[inds],
-            full.rollout_extras[inds],
+            jax.tree.map(lambda e: e[inds], full.rollout_extras),
         )
         np.testing.assert_allclose(
             sub.output["log_likelihood"],
