@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from nnx_ppo_tpu.envs.types import State
+from nnx_ppo_tpu.ops.linalg import cholesky_solve_small
 
 
 class NLinkSwingup:
@@ -78,7 +79,9 @@ class NLinkSwingup:
         C = (ll * jnp.sin(dth) * tail) @ (theta_dot**2)
         g_vec = -self.gravity * l * jnp.sin(theta) * self._tail_mass
         rhs = tau - C - g_vec - self.damping * theta_dot
-        return jax.scipy.linalg.solve(M, rhs, assume_a="pos")
+        # Unrolled SPD solve: ~3x faster than the LAPACK-style custom
+        # call for tiny per-env systems on TPU (ops/linalg.py).
+        return cholesky_solve_small(M, rhs)
 
     def _physics(self, q: dict, action: jax.Array) -> dict:
         tau = self.max_torque * jnp.clip(action, -1.0, 1.0).reshape(self.n_links)

@@ -1,3 +1,4 @@
 from nnx_ppo_tpu.ops.gae import gae, gae_pallas, gae_scan
+from nnx_ppo_tpu.ops.linalg import cholesky_solve_small
 
-__all__ = ["gae", "gae_pallas", "gae_scan"]
+__all__ = ["gae", "gae_pallas", "gae_scan", "cholesky_solve_small"]
