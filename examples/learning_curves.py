@@ -11,6 +11,11 @@ framework's curve.
 Run:  python examples/learning_curves.py [out.csv]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import csv
 import sys
 

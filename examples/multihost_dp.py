@@ -13,6 +13,11 @@ Local smoke test without TPUs:
         python examples/multihost_dp.py --total-steps 10000
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 
 import jax

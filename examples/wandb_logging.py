@@ -7,6 +7,11 @@ to stdout logging when wandb is not installed.
 Run:  python examples/wandb_logging.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 
 from nnx_ppo_tpu.algorithms import (

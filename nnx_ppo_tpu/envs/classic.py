@@ -94,6 +94,38 @@ class _Cartpole:
     def step(self, state: State, action: jax.Array) -> State:
         return self._state(self._physics(state.data["q"], action))
 
+    def render(self, trajectory, height: int = 240, width: int = 320):
+        """Rasterize a trajectory of (Slim)States into HWC uint8 frames —
+        completes the video pipeline (``eval_rollout_for_render_scan`` →
+        ``unstack_trajectory`` → ``env.render`` → ``video_fn``) for the
+        analytic env suite without any graphics dependency."""
+        import numpy as np
+
+        frames = []
+        scale = width / (2 * self.x_limit + 1.0)
+        pole_len = 2 * self.pole_half_length * scale
+        cart_y = int(height * 0.7)
+        for slim in trajectory:
+            q = np.asarray(jax.device_get(slim.data["q"]))
+            x, theta = float(q[0]), float(q[1])
+            frame = np.full((height, width, 3), 255, np.uint8)
+            frame[cart_y + 3, :, :] = 120  # track
+            cx = int(width / 2 + x * scale)
+            frame[
+                max(cart_y - 8, 0) : cart_y + 3,
+                max(cx - 14, 0) : min(cx + 14, width),
+                :,
+            ] = (40, 40, 200)
+            # Pole: sample points along its length.
+            tip_dx, tip_dy = np.sin(theta) * pole_len, np.cos(theta) * pole_len
+            for t in np.linspace(0.0, 1.0, int(pole_len) * 2):
+                px = int(cx + t * tip_dx)
+                py = int(cart_y - 8 - t * tip_dy)
+                if 0 <= px < width - 1 and 0 <= py < height - 1:
+                    frame[py : py + 2, px : px + 2, :] = (200, 60, 40)
+            frames.append(frame)
+        return frames
+
 
 class CartpoleBalance(_Cartpole):
     """Start near upright; keep the pole balanced and the cart centered.

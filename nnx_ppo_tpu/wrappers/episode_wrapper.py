@@ -55,3 +55,8 @@ class EpisodeWrapper:
     @property
     def action_size(self):
         return self.env.action_size
+
+    def __getattr__(self, name):
+        # Delegate anything else (render, observation specs, ...) to the
+        # wrapped env so wrappers stay transparent to the video pipeline.
+        return getattr(self.env, name)

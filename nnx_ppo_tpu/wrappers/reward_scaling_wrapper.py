@@ -34,3 +34,8 @@ class RewardScalingWrapper:
     @property
     def action_size(self) -> Any:
         return self.env.action_size
+
+    def __getattr__(self, name: str) -> Any:
+        # Delegate anything else (render, observation specs, ...) to the
+        # wrapped env so wrappers stay transparent to the video pipeline.
+        return getattr(self.env, name)

@@ -1,0 +1,45 @@
+"""Video pipeline: render rollout → unstack → env.render → video_fn,
+end-to-end through train_ppo (reference ``ppo.py:143-167`` path)."""
+
+import jax
+
+from nnx_ppo_tpu.algorithms import (
+    EvalConfig,
+    PPOConfig,
+    TrainConfig,
+    VideoConfig,
+    train_ppo,
+)
+from nnx_ppo_tpu.envs import CartpoleBalance
+from nnx_ppo_tpu.networks import make_mlp_actor_critic
+from nnx_ppo_tpu.wrappers import EpisodeWrapper, RewardScalingWrapper
+
+
+def test_video_pipeline_end_to_end():
+    videos = []
+    env = EpisodeWrapper(CartpoleBalance(), max_len=60)
+    net = make_mlp_actor_critic(5, 1, [16], [16], jax.random.key(0))
+    cfg = TrainConfig(
+        ppo=PPOConfig(n_envs=8, rollout_length=5, total_steps=400),
+        eval=EvalConfig(enabled=False),
+        video=VideoConfig(
+            enabled=True,
+            every_steps=200,
+            episode_length=30,
+            render_kwargs=(("height", 120), ("width", 160)),
+        ),
+    )
+    train_ppo(env, net, cfg, video_fn=videos.append)
+    assert videos
+    # T+1 frames: trajectory plus the appended final state.
+    assert videos[0].frames.shape == (31, 120, 160, 3)
+    assert videos[0].frames.dtype.name == "uint8"
+    assert isinstance(videos[0].episode_reward, float)
+
+
+def test_wrappers_delegate_render():
+    env = RewardScalingWrapper(
+        EpisodeWrapper(CartpoleBalance(), max_len=10), reward_scale=2.0
+    )
+    assert hasattr(env, "render")
+    assert env.observation_size == 5
