@@ -132,24 +132,19 @@ def distillation_loss(
     the student feeding the TEACHER's rollout_extras
     (reference ``distillation.py:160-233``).
 
-    ``fused_replay`` batches the [T] replay into one forward when the
-    student is replay-time-static (see ``ppo.ppo_loss``)."""
-    from nnx_ppo_tpu.algorithms.ppo import _expand_state_over_time
-
+    ``fused_replay`` runs the replay layer-wise over time
+    (``StatefulModule.replay_sequence`` — see ``ppo.ppo_loss``)."""
     student = combine(student_params, student_rest)
     rollout_data = jax.lax.stop_gradient(rollout_data)
 
-    if fused_replay and student.replay_time_static:
-        unroll_length = jax.tree.leaves(rollout_data.done)[0].shape[0]
-        state_t = _expand_state_over_time(student_state, unroll_length)
-
-        def forward_t(net_state, obs, extras):
-            out = student(net_state, obs, extras)
-            return out.output.loglikelihoods, out.regularization_loss
-
-        loglikelihoods, scanned_reg_loss = jax.vmap(forward_t)(
-            state_t, rollout_data.obs, rollout_data.teacher_rollout_extras
+    if fused_replay:
+        output_seq, scanned_reg_loss, _ = student.replay_sequence(
+            student_state,
+            rollout_data.obs,
+            rollout_data.done,
+            rollout_data.teacher_rollout_extras,
         )
+        loglikelihoods = output_seq.loglikelihoods
     else:
 
         def step_network(net_state, xs):

@@ -47,7 +47,7 @@ from nnx_ppo_tpu.algorithms.types import (
     Transition,
 )
 from nnx_ppo_tpu.core.struct import combine, partition_params, tree_where
-from nnx_ppo_tpu.networks.types import StatefulModule
+from nnx_ppo_tpu.networks.types import StatefulModule, expand_state_over_time
 from nnx_ppo_tpu.ops.gae import gae  # re-exported; reference ppo.py:351
 from nnx_ppo_tpu.parallel.mesh import (
     constrain_batch,
@@ -237,20 +237,9 @@ def ppo_step(
     return training_state, metrics
 
 
-def _expand_state_over_time(network_state: Any, unroll_length: int) -> Any:
-    """Per-step carry trees ``[T, ...]`` for the time-fused replay.
-
-    PRNG-key leaves get a distinct subkey per step (split once, batched);
-    all other leaves are broadcast unchanged — legal because a
-    replay-time-static network never reads carry values in replay."""
-
-    def expand(leaf: jax.Array) -> jax.Array:
-        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
-            split = jax.vmap(lambda k: jax.random.split(k, unroll_length))(leaf)
-            return jnp.swapaxes(split, 0, 1)  # [T, B]
-        return jnp.broadcast_to(leaf[None], (unroll_length, *leaf.shape))
-
-    return jax.tree.map(expand, network_state)
+# Backward-compatible alias; the implementation lives next to the
+# protocol (networks/types.py).
+_expand_state_over_time = expand_state_over_time
 
 
 def ppo_multi_step(
@@ -303,29 +292,24 @@ def ppo_loss(
     reward-key GAE; optional team-summed advantages; advantage
     normalization; 0.5·MSE critic; module regularization losses.
 
-    When ``fused_replay`` is set and the network is replay-time-static
-    (``StatefulModule.replay_time_static``), the [T] replay runs as one
-    batched forward (``vmap`` over time) instead of a sequential scan:
-    T× fewer kernel dispatches and T× larger MXU matmuls, with
-    bitwise-identical losses (all stochastic draws are snapshotted in
-    the stored extras)."""
+    When ``fused_replay`` is set, the replay runs **layer-wise over
+    time** (``StatefulModule.replay_sequence``): replay-time-static
+    layers batch over ``[T·B]`` on the MXU (all stochastic draws are
+    snapshotted in the stored extras), recurrent layers scan only their
+    own core with input projections hoisted out of the loop. Losses are
+    identical to the step-wise scan up to float reduction order."""
     networks = combine(params, net_rest)
     rollout_data = jax.lax.stop_gradient(rollout_data)
 
-    if fused_replay and networks.replay_time_static:
-        unroll_length = jax.tree.leaves(rollout_data.done)[0].shape[0]
-        state_t = _expand_state_over_time(network_state, unroll_length)
-
-        def forward_t(net_state, obs, extras):
-            out = networks(net_state, obs, extras)
-            return out.output, out.regularization_loss
-
-        network_output, scanned_reg_loss = jax.vmap(forward_t)(
-            state_t, rollout_data.obs, rollout_data.rollout_extras
+    if fused_replay:
+        network_output, scanned_reg_loss, final_net_state = (
+            networks.replay_sequence(
+                network_state,
+                rollout_data.obs,
+                rollout_data.done,
+                rollout_data.rollout_extras,
+            )
         )
-        # Bootstrap from the pre-rollout carry: a replay-time-static
-        # network's value estimates don't depend on carry values.
-        final_net_state = network_state
     else:
 
         def step_network(net_state, xs):

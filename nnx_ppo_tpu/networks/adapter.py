@@ -99,6 +99,30 @@ class PPOAdapter(StatefulModule):
     def replay_time_static(self) -> bool:
         return self.action.replay_time_static and self.value.replay_time_static
 
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        a_re = None if extras_seq is None else extras_seq["action"]
+        v_re = None if extras_seq is None else extras_seq["value"]
+        a_out, a_reg, a_final = self.action.replay_sequence(
+            state["action"], obs_seq, done_seq, a_re
+        )
+        v_out, v_reg, v_final = self.value.replay_sequence(
+            state["value"], obs_seq, done_seq, v_re
+        )
+        output = PPONetworkOutput(
+            actions=jax.tree.map(
+                lambda d: d["action"], a_out, is_leaf=is_sampler_dict
+            ),
+            loglikelihoods=jax.tree.map(
+                lambda d: d["log_likelihood"], a_out, is_leaf=is_sampler_dict
+            ),
+            value_estimates=jax.tree.map(_squeeze_trailing_one, v_out),
+        )
+        return (
+            output,
+            a_reg + v_reg,
+            {"action": a_final, "value": v_final},
+        )
+
     def reset_state(self, prev_state) -> ModuleState:
         return {
             "action": self.action.reset_state(prev_state["action"]),

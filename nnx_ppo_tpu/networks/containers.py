@@ -87,6 +87,19 @@ class Sequential(StatefulModule):
     def replay_time_static(self) -> bool:
         return all(layer.replay_time_static for layer in self.layers)
 
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        x = obs_seq
+        reg_seq = 0.0
+        finals = []
+        for i, (layer, layer_state) in enumerate(zip(self.layers, state)):
+            layer_extras = None if extras_seq is None else extras_seq[i]
+            x, reg, final = layer.replay_sequence(
+                layer_state, x, done_seq, layer_extras
+            )
+            reg_seq = reg_seq + reg
+            finals.append(final)
+        return x, reg_seq, tuple(finals)
+
 
 class _NamedContainer(StatefulModule):
     """Shared routing for dict-keyed containers."""
@@ -131,6 +144,20 @@ class _NamedContainer(StatefulModule):
     def replay_time_static(self) -> bool:
         return all(c.replay_time_static for c in self.components.values())
 
+    def _replay_children_sequence(self, state, done_seq, extras_seq, input_for):
+        outputs: dict[str, Any] = {}
+        finals: dict[str, ModuleState] = {}
+        reg_seq = 0.0
+        for key, component in self.components.items():
+            child_extras = None if extras_seq is None else extras_seq[key]
+            out, reg, final = component.replay_sequence(
+                state[key], input_for(key), done_seq, child_extras
+            )
+            outputs[key] = out
+            finals[key] = final
+            reg_seq = reg_seq + reg
+        return outputs, reg_seq, finals
+
 
 @pytree_dataclass
 class Concat(_NamedContainer):
@@ -156,6 +183,13 @@ class Concat(_NamedContainer):
         )
         return ModuleOutput(new_state, concated, reg_loss, metrics, new_extras)
 
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        outputs, reg_seq, finals = self._replay_children_sequence(
+            state, done_seq, extras_seq, lambda key: obs_seq[key]
+        )
+        concated = jnp.concatenate([outputs[k] for k in self.components], axis=-1)
+        return concated, reg_seq, finals
+
 
 @pytree_dataclass
 class Parallel(_NamedContainer):
@@ -175,6 +209,12 @@ class Parallel(_NamedContainer):
             state, rollout_extras, lambda key: x
         )
         return ModuleOutput(new_state, outputs, reg_loss, metrics, new_extras)
+
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        outputs, reg_seq, finals = self._replay_children_sequence(
+            state, done_seq, extras_seq, lambda key: obs_seq
+        )
+        return outputs, reg_seq, finals
 
 
 @pytree_dataclass

@@ -135,6 +135,36 @@ class LSTM(StatefulModule):
             )
         return (jnp.zeros_like(prev_state[0]), jnp.zeros_like(prev_state[1]))
 
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        """Sequence replay with the input projection hoisted out of the
+        scan: ``x @ W_i`` for all T steps runs as ONE ``[T·B, in]``
+        matmul on the MXU; only the ``h``-dependent half stays
+        sequential. ~Halves the sequential matmul count of recurrent
+        replay (the T·E·M hot loop, reference ``ppo.py:415-431``)."""
+        del extras_seq
+        xi_seq = (
+            jnp.dot(obs_seq, self.wi, preferred_element_type=jnp.float32)
+            + self.bias
+        )  # [T, B, 4H]
+
+        def step(carry, xs):
+            h, c = carry
+            xi, done = xs
+            gates = xi + jnp.dot(h, self.wh, preferred_element_type=jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            new_c = self.gate_fn(f) * c + self.gate_fn(i) * self.activation_fn(g)
+            new_h = self.gate_fn(o) * self.activation_fn(new_c)
+            reset_h, reset_c = self.reset_state((new_h, new_c))
+            d = done[:, None]
+            next_carry = (
+                jnp.where(d, reset_h, new_h),
+                jnp.where(d, reset_c, new_c),
+            )
+            return next_carry, new_h
+
+        final, out_seq = jax.lax.scan(step, state, (xi_seq, done_seq))
+        return out_seq, jnp.zeros(done_seq.shape), final
+
 
 @pytree_dataclass
 class GRU(StatefulModule):
@@ -220,3 +250,27 @@ class GRU(StatefulModule):
         if self.initial_h is not None:
             return jnp.broadcast_to(self.initial_h, prev_state.shape)
         return jnp.zeros_like(prev_state)
+
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        """Sequence replay with the input projection hoisted out of the
+        scan (see ``LSTM.replay_sequence``)."""
+        del extras_seq
+        xi_seq = (
+            jnp.dot(obs_seq, self.wi, preferred_element_type=jnp.float32)
+            + self.bias
+        )  # [T, B, 3H]
+
+        def step(h, xs):
+            xi, done = xs
+            hh = jnp.dot(h, self.wh, preferred_element_type=jnp.float32)
+            xr, xz, xn = jnp.split(xi, 3, axis=-1)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            r = self.gate_fn(xr + hr)
+            z = self.gate_fn(xz + hz)
+            n = self.activation_fn(xn + r * hn)
+            new_h = (1.0 - z) * n + z * h
+            next_h = jnp.where(done[:, None], self.reset_state(new_h), new_h)
+            return next_h, new_h
+
+        final, out_seq = jax.lax.scan(step, state, (xi_seq, done_seq))
+        return out_seq, jnp.zeros(done_seq.shape), final

@@ -116,6 +116,53 @@ class StatefulModule(abc.ABC):
         del rollout_extras
         return self
 
+    def replay_sequence(
+        self,
+        module_state: ModuleState,
+        obs_seq: Any,
+        done_seq: jax.Array,
+        extras_seq: Any,
+    ) -> tuple[Any, jax.Array, ModuleState]:
+        """Replay this module over a whole ``[T, B, ...]`` stored
+        sequence (LOSS_REPLAY only — every step gets its stored extras).
+
+        Returns ``(output_seq, reg_seq [T, B], final_state)``. The carry
+        is reset per-env where ``done_seq[t]`` AFTER step t, exactly like
+        the rollout (``rollout.single_transition``).
+
+        Containers override this to run **layer-wise over time**: each
+        child processes the full sequence before the next child runs —
+        semantically identical to step-wise execution (children interact
+        only through the data stream), but it lets every
+        replay-time-static child batch over ``T·B`` on the MXU while
+        genuinely recurrent children scan only their own small core.
+
+        Default implementation: the batched ``vmap``-over-time forward
+        for replay-time-static modules, a ``lax.scan`` otherwise.
+        """
+        T, B = done_seq.shape
+        if self.replay_time_static:
+            state_t = expand_state_over_time(module_state, T)
+
+            def forward_t(state, obs, extras):
+                out = self(state, obs, extras)
+                return out.output, out.regularization_loss
+
+            output_seq, reg_seq = jax.vmap(forward_t)(state_t, obs_seq, extras_seq)
+            return output_seq, _normalize_reg(reg_seq, T, B), module_state
+
+        def step(state, xs):
+            obs, done, extras = xs
+            out = self(state, obs, extras)
+            reset = self.reset_state(out.next_state)
+            new_state = struct.tree_where(done, reset, out.next_state)
+            return new_state, (out.output, out.regularization_loss)
+
+        final_state, (output_seq, reg_seq) = jax.lax.scan(
+            step, module_state, (obs_seq, done_seq, extras_seq)
+        )
+        return output_seq, _normalize_reg(reg_seq, T, B), final_state
+
     @property
     def replay_time_static(self) -> bool:
         """True iff in LOSS_REPLAY mode (``rollout_extras is not None``)
@@ -146,6 +193,30 @@ class StatefulModule(abc.ABC):
 
     def train(self) -> "StatefulModule":
         return struct.tree_set_attr(self, "deterministic", False)
+
+
+def _normalize_reg(reg_seq: jax.Array, T: int, B: int) -> jax.Array:
+    """Broadcast per-step regularization (scalar or [B] per step) to
+    ``[T, B]`` so container summation across children is shape-stable."""
+    if reg_seq.ndim == 1:
+        reg_seq = reg_seq[:, None]
+    return jnp.broadcast_to(reg_seq, (T, B))
+
+
+def expand_state_over_time(module_state: ModuleState, unroll_length: int) -> Any:
+    """Per-step carry trees ``[T, ...]`` for the time-fused replay.
+
+    PRNG-key leaves get a distinct subkey per step (split once, batched);
+    all other leaves are broadcast unchanged — legal because a
+    replay-time-static module never reads carry values in replay."""
+
+    def expand(leaf: jax.Array) -> jax.Array:
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            split = jax.vmap(lambda k: jax.random.split(k, unroll_length))(leaf)
+            return jnp.swapaxes(split, 0, 1)  # [T, B]
+        return jnp.broadcast_to(leaf[None], (unroll_length, *leaf.shape))
+
+    return jax.tree.map(expand, module_state)
 
 
 def split_per_env_keys(keys: jax.Array, num: int = 2) -> tuple[jax.Array, ...]:

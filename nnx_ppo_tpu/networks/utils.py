@@ -159,6 +159,20 @@ class Merge(_NamedContainer):
                 merged[k] = v
         return ModuleOutput(new_state, merged, reg_loss, metrics, new_extras)
 
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        outputs, reg_seq, finals = self._replay_children_sequence(
+            state, done_seq, extras_seq, lambda key: obs_seq
+        )
+        merged: dict[str, Any] = {}
+        for name in self.components:
+            for k, v in outputs[name].items():
+                if k in merged:
+                    raise ValueError(
+                        f"Merge: duplicate key {k!r} produced by multiple components"
+                    )
+                merged[k] = v
+        return merged, reg_seq, finals
+
 
 @pytree_dataclass
 class Map(_NamedContainer):
@@ -178,3 +192,9 @@ class Map(_NamedContainer):
             state, rollout_extras, lambda key: x[key]
         )
         return ModuleOutput(new_state, outputs, reg_loss, metrics, new_extras)
+
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        outputs, reg_seq, finals = self._replay_children_sequence(
+            state, done_seq, extras_seq, lambda key: obs_seq[key]
+        )
+        return outputs, reg_seq, finals

@@ -170,6 +170,63 @@ class TestEndToEnd:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_recurrent_layerwise_replay_equals_whole_net_scan(self):
+        """GRU nets use replay_sequence with hoisted input projections;
+        the loss must match the exact whole-network scan."""
+        from nnx_ppo_tpu.algorithms.types import LoggingLevel
+
+        env = EpisodeWrapper(CartpoleBalance(), max_len=4)  # forces resets
+        k = jax.random.split(jax.random.key(0), 5)
+        net = PPOAdapter.create(
+            action=Sequential.create(
+                [
+                    GRU.create(5, 8, k[0]),
+                    Dense.create(8, 2, k[1]),
+                    NormalTanhSampler.create(k[2]),
+                ]
+            ),
+            value=Sequential.create(
+                [GRU.create(5, 8, k[3]), Dense.create(8, 1, k[4])]
+            ),
+        )
+        ts, data = _rollout(env, net)
+        params, rest = partition_params(net)
+        kw = dict(LOSS_KW, logging_level=LoggingLevel.LOSSES)
+        l_scan, _ = ppo_loss(
+            params, rest, ts.network_states, data, fused_replay=False, **kw
+        )
+        l_fused, _ = ppo_loss(
+            params, rest, ts.network_states, data, fused_replay=True, **kw
+        )
+        assert jnp.allclose(l_scan, l_fused, rtol=1e-4, atol=1e-5), (
+            l_scan,
+            l_fused,
+        )
+
+    def test_lstm_layerwise_replay_matches_stepwise_forward(self):
+        """LSTM.replay_sequence (hoisted projections) must reproduce the
+        per-step __call__ outputs and final carry exactly, incl. resets."""
+        from nnx_ppo_tpu.networks import LSTM
+        from nnx_ppo_tpu.core.struct import tree_where
+
+        lstm = LSTM.create(3, 7, jax.random.key(0))
+        T, B = 5, 4
+        obs = jax.random.normal(jax.random.key(1), (T, B, 3))
+        done = jax.random.bernoulli(jax.random.key(2), 0.4, (T, B))
+        state = lstm.initialize_state(B)
+
+        seq_out, _, seq_final = lstm.replay_sequence(state, obs, done, None)
+
+        s = state
+        outs = []
+        for t in range(T):
+            o = lstm(s, obs[t])
+            outs.append(o.output)
+            s = tree_where(done[t], lstm.reset_state(o.next_state), o.next_state)
+        assert jnp.allclose(seq_out, jnp.stack(outs), rtol=1e-5, atol=1e-6)
+        for a, b in zip(seq_final, s):
+            assert jnp.allclose(a, b, rtol=1e-5, atol=1e-6)
+
     def test_recurrent_falls_back(self):
         env = EpisodeWrapper(CartpoleBalance(), max_len=10)
         k = jax.random.split(jax.random.key(0), 4)
