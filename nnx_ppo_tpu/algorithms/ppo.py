@@ -261,14 +261,15 @@ def ppo_multi_step(
 
     def body(ts, _):
         ts, metrics = ppo_step(env, ts, config, optimizer, mesh)
-        return ts, None
+        return ts, metrics
 
-    # Run n_steps - 1 without metrics, final step with metrics: XLA DCEs
-    # the metric computations in the scanned body.
-    training_state, _ = jax.lax.scan(
-        body, training_state, None, length=n_steps - 1
+    # One scanned body (ppo_step is traced/compiled once); metric cost
+    # per iteration is negligible at the default logging level and the
+    # stacked history collapses to its last row below.
+    training_state, metrics_seq = jax.lax.scan(
+        body, training_state, None, length=n_steps
     )
-    return ppo_step(env, training_state, config, optimizer, mesh)
+    return training_state, jax.tree.map(lambda m: m[-1], metrics_seq)
 
 
 def ppo_loss(
