@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# Persistent compilation cache: reruns of the same configs skip the
+# 10-60s XLA compile (cache keys include program + flags + platform).
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '../.jax_cache'))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
 from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
 from nnx_ppo_tpu.envs import CartpoleBalance, JoystickLocomotion, NLinkSwingup
