@@ -129,44 +129,72 @@ class AR1VariationalBottleneck(StatefulModule):
             backprop_through_time=backprop_through_time,
         )
 
-    def __call__(self, state: dict, x, rollout_extras: Any = None) -> ModuleOutput:
-        keys = state["keys"]
-        prev_z = state["last_z"]
-        if not self.backprop_through_time:
-            prev_z = jax.lax.stop_gradient(prev_z)
-
-        next_keys, sample_keys = split_per_env_keys(keys, 2)
+    def _z_and_kl(self, x: jax.Array, eps: jax.Array):
         mean, log_std = jnp.split(x, 2, axis=-1)
         std = jax.nn.softplus(log_std) + self.min_std
-        eps = jax.vmap(lambda k: jax.random.normal(k, (self.latent_size,)))(
-            sample_keys
-        )
         z = mean + std * eps
-
         kl_per_dim = 0.5 * (
             jnp.square(mean) + jnp.square(std) - 2 * jnp.log(std) - 1
         )
-        kl_divergence = jnp.sum(kl_per_dim, axis=-1)
-        kl_loss = self.kl_weight * kl_divergence
+        return mean, std, z, jnp.sum(kl_per_dim, axis=-1)
 
+    def _ar1_penalty(self, z: jax.Array, prev_z: jax.Array) -> jax.Array:
         # NaN-sentinel-safe AR1 term: zero value AND zero gradient right
         # after a reset.
+        if not self.backprop_through_time:
+            prev_z = jax.lax.stop_gradient(prev_z)
         safe_prev_z = jnp.where(jnp.isnan(prev_z), z, prev_z)
-        l2_diff = jnp.mean(jnp.square(z - safe_prev_z), axis=-1)
-        ar1_loss = self.ar1_weight * l2_diff
+        return jnp.mean(jnp.square(z - safe_prev_z), axis=-1)
+
+    def __call__(self, state: dict, x, rollout_extras: Any = None) -> ModuleOutput:
+        keys = state["keys"]
+        next_keys, sample_keys = split_per_env_keys(keys, 2)
+        if rollout_extras is None:
+            eps = jax.vmap(
+                lambda k: jax.random.normal(k, (self.latent_size,))
+            )(sample_keys)
+        else:
+            # Stored reparameterization noise → replay reproduces the
+            # rollout's z exactly (gradients through mean/std).
+            eps = rollout_extras
+        mean, std, z, kl_divergence = self._z_and_kl(x, eps)
+        l2_diff = self._ar1_penalty(z, state["last_z"])
 
         return ModuleOutput(
             next_state={"keys": next_keys, "last_z": z},
             output=z,
-            regularization_loss=kl_loss + ar1_loss,
+            regularization_loss=self.kl_weight * kl_divergence
+            + self.ar1_weight * l2_diff,
             metrics={
                 "mu": mean,
                 "sigma": std,
                 "kl_divergence": kl_divergence,
                 "l2_diff": l2_diff,
             },
-            rollout_extras=None,
+            rollout_extras=jax.lax.stop_gradient(eps),
         )
+
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        """Vectorized sequence replay: with the reparameterization noise
+        stored in the extras, every ``z_t`` is a batched function of
+        ``(x_t, eps_t)``; the AR(1) penalty needs only the time-shifted
+        z sequence with the NaN sentinel re-inserted at episode
+        boundaries — no scan at all."""
+        mean, std, z_seq, kl_seq = self._z_and_kl(obs_seq, extras_seq)
+
+        nan = jnp.full_like(z_seq[0], jnp.nan)
+        prev_z = jnp.concatenate([state["last_z"][None], z_seq[:-1]], axis=0)
+        # A reset after step t-1 (done_seq[t-1]) makes prev_z NaN at t.
+        reset_before = jnp.concatenate(
+            [jnp.zeros_like(done_seq[:1]), done_seq[:-1]], axis=0
+        ).astype(bool)
+        prev_z = jnp.where(reset_before[..., None], nan, prev_z)
+        l2_seq = self._ar1_penalty(z_seq, prev_z)
+
+        final_last_z = jnp.where(done_seq[-1][..., None], nan, z_seq[-1])
+        final_state = {"keys": state["keys"], "last_z": final_last_z}
+        reg_seq = self.kl_weight * kl_seq + self.ar1_weight * l2_seq
+        return z_seq, reg_seq, final_state
 
     def initialize_state(self, batch_size: int) -> dict:
         return {
