@@ -46,7 +46,25 @@ class Sequential(StatefulModule):
     def create(cls, layers) -> "Sequential":
         return cls(layers=tuple(layers))
 
+    def _check_routing(self, state, rollout_extras) -> None:
+        # Silent zip truncation on mismatched trees would make layers
+        # consume the wrong extras (e.g. a sampler silently re-sampling
+        # in replay when distilling between non-isomorphic networks).
+        if len(state) != len(self.layers):
+            raise ValueError(
+                f"Sequential: carry has {len(state)} entries for "
+                f"{len(self.layers)} layers — state tree is not isomorphic"
+            )
+        if rollout_extras is not None and len(rollout_extras) != len(self.layers):
+            raise ValueError(
+                f"Sequential: rollout_extras has {len(rollout_extras)} entries "
+                f"for {len(self.layers)} layers — extras tree is not "
+                "isomorphic (distillation requires teacher and student with "
+                "isomorphic carry/extras trees)"
+            )
+
     def __call__(self, state, obs, rollout_extras=None) -> ModuleOutput:
+        self._check_routing(state, rollout_extras)
         new_state = []
         new_extras = []
         x = obs
@@ -88,6 +106,7 @@ class Sequential(StatefulModule):
         return all(layer.replay_time_static for layer in self.layers)
 
     def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        self._check_routing(state, extras_seq)
         x = obs_seq
         reg_seq = 0.0
         finals = []

@@ -243,3 +243,21 @@ class TestPPOAdapter:
         assert out.output.actions["u"].shape == (2, 1)
         assert out.output.actions["v"].shape == (2, 2)
         assert out.output.loglikelihoods["u"].shape == (2,)
+
+
+class TestRoutingIsomorphismCheck:
+    def test_sequential_rejects_mismatched_extras(self):
+        """Silent zip truncation used to let a sampler re-sample in
+        replay when distilling between non-isomorphic networks."""
+        import pytest
+        from nnx_ppo_tpu.networks import Dense, Sequential
+
+        seq = Sequential.create(
+            [Dense.create(3, 4, jax.random.key(0)), Dense.create(4, 2, jax.random.key(1))]
+        )
+        state = seq.initialize_state(2)
+        x = jnp.ones((2, 3))
+        with pytest.raises(ValueError, match="isomorphic"):
+            seq(state, x, (None,))  # extras for only one layer
+        with pytest.raises(ValueError, match="isomorphic"):
+            seq(state[:1], x)  # carry for only one layer
