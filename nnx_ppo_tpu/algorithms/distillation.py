@@ -39,7 +39,7 @@ from nnx_ppo_tpu.algorithms.config import (
     VideoData,
 )
 from nnx_ppo_tpu.algorithms.metrics import _log_metric
-from nnx_ppo_tpu.algorithms.ppo import _should_run, make_optimizer
+from nnx_ppo_tpu.algorithms.ppo import _should_run, _to_host, make_optimizer
 from nnx_ppo_tpu.algorithms.types import (
     DistillationState,
     DistillationTransition,
@@ -48,7 +48,11 @@ from nnx_ppo_tpu.algorithms.types import (
 )
 from nnx_ppo_tpu.core.struct import combine, partition_params, tree_where
 from nnx_ppo_tpu.networks.types import ModuleState, StatefulModule
-from nnx_ppo_tpu.parallel.mesh import constrain_time_batch, shard_training_state
+from nnx_ppo_tpu.parallel.mesh import (
+    constrain_batch,
+    constrain_time_batch,
+    shard_training_state,
+)
 from nnx_ppo_tpu.parallel.permutation import minibatch_permutations
 
 
@@ -221,9 +225,11 @@ def distillation_step(
     def update_step(carry, inds):
         params, opt_state = carry
         minibatch_data = jax.tree.map(lambda x: x[:, inds], rollout_data)
+        minibatch_data = constrain_time_batch(minibatch_data, mesh)
         student_state_subset = jax.tree.map(
             lambda x: x[inds], distillation_state.student_states
         )
+        student_state_subset = constrain_batch(student_state_subset, mesh)
         grads, loss_metrics = grad_fn(
             params,
             student_rest,
@@ -311,25 +317,16 @@ def new_distillation_state(
         steps_taken=jnp.array(0.0),
     )
     if mesh is not None:
-        from nnx_ppo_tpu.parallel.mesh import batch_sharded, replicated
+        from nnx_ppo_tpu.parallel.mesh import place_batched, place_replicated
 
-        def put(tree, sharding_fn):
-            return jax.tree.map(lambda x: jax.device_put(x, sharding_fn(x)), tree)
-
-        rep = lambda _: replicated(mesh)
-        bat = lambda x: (
-            batch_sharded(mesh)
-            if getattr(x, "ndim", 0) > 0 and x.shape[0] % mesh.shape["data"] == 0
-            else replicated(mesh)
-        )
         state = DistillationState(
-            student=put(state.student, rep),
-            student_states=put(state.student_states, bat),
-            teacher_states=put(state.teacher_states, bat),
-            env_states=put(state.env_states, bat),
-            opt_state=put(state.opt_state, rep),
-            rng_key=jax.device_put(state.rng_key, replicated(mesh)),
-            steps_taken=jax.device_put(state.steps_taken, replicated(mesh)),
+            student=place_replicated(state.student, mesh),
+            student_states=place_batched(state.student_states, mesh),
+            teacher_states=place_batched(state.teacher_states, mesh),
+            env_states=place_batched(state.env_states, mesh),
+            opt_state=place_replicated(state.opt_state, mesh),
+            rng_key=place_replicated(state.rng_key, mesh),
+            steps_taken=place_replicated(state.steps_taken, mesh),
         )
     return state
 
@@ -429,7 +426,7 @@ def train_distillation(
             student_module.eval(), key=jax.random.key(config.seed)
         )
         return {
-            k: float(v) if hasattr(v, "shape") and v.shape == () else v
+            k: _to_host(v)
             for k, v in dict(eval_metrics).items()
         }
 

@@ -160,7 +160,10 @@ def ppo_step(
     logging_level = config.logging_level
     n_shards = 1 if mesh is None else mesh.shape["data"]
 
-    reset_key, new_key = jax.random.split(training_state.rng_key)
+    # Three independent streams: env resets, minibatch permutations, and
+    # the next iteration's base key (fold_in and split on the SAME key
+    # draw from overlapping counter spaces — documented-unsafe dual use).
+    reset_key, perm_key, new_key = jax.random.split(training_state.rng_key, 3)
     next_net_state, next_env_state, rollout_data = rollout.unroll_env(
         env,
         training_state.env_states,
@@ -177,7 +180,7 @@ def ppo_step(
     # Pre-compute all minibatch indices for all epochs (shard-local
     # permutations on a mesh — see parallel/permutation.py).
     all_indices = minibatch_permutations(
-        new_key, n_envs, config.n_epochs, config.n_minibatches, n_shards
+        perm_key, n_envs, config.n_epochs, config.n_minibatches, n_shards
     )
 
     def update_step(carry, inds):
@@ -201,6 +204,7 @@ def ppo_step(
             critic_loss_weight=config.critic_loss_weight,
             logging_level=logging_level,
             fused_replay=config.fused_replay,
+            single_device=mesh is None,
         )
         if LoggingLevel.GRAD_NORM in logging_level:
             loss_metrics["grad_norm"] = optax.global_norm(grads)
@@ -285,6 +289,7 @@ def ppo_loss(
     critic_loss_weight: float,
     logging_level: LoggingLevel,
     fused_replay: bool = False,
+    single_device: bool = True,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """Clipped-surrogate PPO loss with replay (reference
     ``ppo.py:397-531``): re-run the network over [T] feeding stored
@@ -340,7 +345,12 @@ def ppo_loss(
         truncated = jax.tree.map(lambda _: truncated, rollout_data.rewards)
 
     advantages = jax.tree.map(
-        functools.partial(gae, lambda_=gae_lambda, gamma=discounting_factor),
+        functools.partial(
+            gae,
+            lambda_=gae_lambda,
+            gamma=discounting_factor,
+            allow_pallas=single_device,
+        ),
         rollout_data.rewards,
         network_output.value_estimates,
         network_output_last.value_estimates,
@@ -369,7 +379,14 @@ def ppo_loss(
         )
 
     def clipped_loss(new_loglikelihoods, old_loglikelihoods, advantages):
-        likelihood_ratios = jnp.exp(new_loglikelihoods - old_loglikelihoods)
+        # Saturate the log-ratio before exp: tanh-squashed policies can
+        # reach |delta-ll| in the hundreds once actions saturate, and
+        # exp overflow would NaN-poison params (grad-clipping cannot
+        # save a NaN). Inactive in the normal ratio range (e^30 ~ 1e13).
+        log_ratios = jnp.clip(
+            new_loglikelihoods - old_loglikelihoods, -30.0, 30.0
+        )
+        likelihood_ratios = jnp.exp(log_ratios)
         loss_cand1 = likelihood_ratios * advantages
         loss_cand2 = (
             jnp.clip(likelihood_ratios, 1 - clip_range, 1 + clip_range) * advantages
@@ -433,6 +450,7 @@ def train_ppo(
     eval_env: Optional[RLEnv] = None,
     initial_state: Optional[TrainingState] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    optimizer: Optional[optax.GradientTransformation] = None,
 ) -> TrainResult:
     """Train a PPO agent (reference ``ppo.py:41-251``).
 
@@ -463,6 +481,7 @@ def train_ppo(
             config.ppo.gradient_clipping,
             config.ppo.weight_decay,
             mesh=mesh,
+            optimizer=optimizer,
         )
     else:
         training_state = initial_state
@@ -473,11 +492,12 @@ def train_ppo(
     # caller still holds.
     training_state = jax.tree.map(jnp.copy, training_state)
 
-    optimizer = make_optimizer(
-        config.ppo.learning_rate,
-        config.ppo.gradient_clipping,
-        config.ppo.weight_decay,
-    )
+    if optimizer is None:
+        optimizer = make_optimizer(
+            config.ppo.learning_rate,
+            config.ppo.gradient_clipping,
+            config.ppo.weight_decay,
+        )
 
     if config.ppo.steps_per_call > 1:
         ppo_step_jit = jax.jit(

@@ -29,7 +29,11 @@ def _named_components(
     components = modules if modules is not None else kwargs
     if not components:
         raise ValueError(f"{name} requires at least one component")
-    return dict(components)
+    # Sort by name: JAX pytree flatten/unflatten re-sorts dict keys, so
+    # an insertion-ordered dict would silently permute (e.g. Concat's
+    # output layout) across any tree operation — jit, tree.map, grad.
+    # Canonical sorted order makes eager and traced behavior identical.
+    return dict(sorted(components.items()))
 
 
 @pytree_dataclass
@@ -183,8 +187,11 @@ class Concat(_NamedContainer):
     """Per-key dispatch + concat: dict input, single-tensor output.
 
     Each named child sees the upstream's same-named entry; child
-    outputs are concatenated along the last axis, in component
-    insertion order. Reference: ``containers.py:55-112``.
+    outputs are concatenated along the last axis **in sorted name
+    order** (an intentional deviation from the reference's insertion
+    order: plain-dict pytrees re-sort keys on flatten/unflatten, so
+    sorted order is the only one stable under jit/tree operations).
+    Reference: ``containers.py:55-112``.
     """
 
     components: dict[str, StatefulModule]

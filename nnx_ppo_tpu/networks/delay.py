@@ -105,8 +105,10 @@ class Delay(StatefulModule):
         cs = jnp.cumsum(done_i, axis=0)
         prev_cs = jnp.concatenate([jnp.zeros((1, B), cs.dtype), cs[:-1]], axis=0)
         # Dones in the window [t-k, t-1] (prev_cs[t-k] := 0 for t < k).
+        # Pad must be min(k, T) rows so T < k_steps stays shape-correct.
         prev_cs_km = jnp.concatenate(
-            [jnp.zeros((k, B), cs.dtype), prev_cs[:-k]], axis=0
+            [jnp.zeros((min(k, T), B), cs.dtype), prev_cs[: max(T - k, 0)]],
+            axis=0,
         )
         window_clear = (prev_cs - prev_cs_km) == 0  # [T, B]
         first_segment = prev_cs == 0

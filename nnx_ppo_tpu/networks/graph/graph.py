@@ -269,7 +269,10 @@ class PopulationGraph(StatefulModule):
                 new_conn_state[i] = conn_out.next_state
                 new_conn_extras[i] = conn_out.rollout_extras
                 integrated = integrated + conn_out.output
-                reg_loss = reg_loss + jnp.sum(conn_out.regularization_loss)
+                # Keep per-sample shape ([B] or scalar) like every other
+                # container — a batch-sum here would overweight edge
+                # regularization by a factor of B after the loss mean.
+                reg_loss = reg_loss + conn_out.regularization_loss
 
             activated = (
                 pop.activation(integrated) if pop.activation is not None else integrated

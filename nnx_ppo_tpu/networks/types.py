@@ -142,14 +142,21 @@ class StatefulModule(abc.ABC):
         """
         T, B = done_seq.shape
         if self.replay_time_static:
-            state_t = expand_state_over_time(module_state, T)
+            state_t = expand_state_over_time(module_state, T + 1)
+            per_step = jax.tree.map(lambda x: x[:T], state_t)
 
             def forward_t(state, obs, extras):
                 out = self(state, obs, extras)
                 return out.output, out.regularization_loss
 
-            output_seq, reg_seq = jax.vmap(forward_t)(state_t, obs_seq, extras_seq)
-            return output_seq, _normalize_reg(reg_seq, T, B), module_state
+            output_seq, reg_seq = jax.vmap(forward_t)(
+                per_step, obs_seq, extras_seq
+            )
+            # Final carry: the (T+1)-th derived keys — fresh randomness
+            # for the bootstrap forward, independent of every per-step
+            # subkey (non-key leaves are unchanged broadcasts).
+            final_state = jax.tree.map(lambda x: x[T], state_t)
+            return output_seq, _normalize_reg(reg_seq, T, B), final_state
 
         def step(state, xs):
             obs, done, extras = xs

@@ -152,14 +152,19 @@ def gae(
     truncation: jax.Array,
     lambda_,
     gamma,
+    allow_pallas: bool = True,
 ) -> jax.Array:
     """GAE with automatic backend dispatch (Pallas on TPU, scan elsewhere).
 
     API parity with reference ``gae`` (``ppo.py:351-394``).
+    ``allow_pallas=False`` forces the scan path — required inside
+    GSPMD-sharded programs, where ``pallas_call`` has no partitioning
+    rule for env-sharded operands (and the VMEM check would see the
+    global rather than per-shard batch).
     """
     T, B = rewards.shape
     backend = jax.default_backend()
-    if backend == "tpu" and B % 128 == 0 and _fits_vmem(T, B):
+    if allow_pallas and backend == "tpu" and B % 128 == 0 and _fits_vmem(T, B):
         return gae_pallas(
             rewards, values_excl_last, last_value, done, truncation, lambda_, gamma
         )

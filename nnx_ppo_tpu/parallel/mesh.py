@@ -92,6 +92,24 @@ def training_state_shardings(
     )
 
 
+def place_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Device-put every leaf replicated on the mesh."""
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def place_batched(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+    """Device-put each leaf with dim 0 sharded on ``data`` (unbatched /
+    indivisible leaves are replicated — same rule as
+    :func:`training_state_shardings`)."""
+    n_shards = mesh.shape[axis_name]
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, _batch_leaf_sharding(x, mesh, n_shards, axis_name)
+        ),
+        tree,
+    )
+
+
 def shard_training_state(
     training_state: Any, mesh: Mesh, axis_name: str = DATA_AXIS
 ) -> Any:

@@ -261,3 +261,21 @@ class TestRoutingIsomorphismCheck:
             seq(state, x, (None,))  # extras for only one layer
         with pytest.raises(ValueError, match="isomorphic"):
             seq(state[:1], x)  # carry for only one layer
+
+
+class TestConcatOrderStability:
+    def test_order_survives_pytree_roundtrip(self):
+        """Dict pytrees re-sort keys on flatten; Concat must produce the
+        same layout eagerly and after any tree operation (regression:
+        insertion order silently permuted the concat under jit)."""
+        c = Concat.create(z=Dense.create(2, 2, key(0)), a=Dense.create(2, 3, key(1)))
+        state = c.initialize_state(4)
+        x = {"z": jnp.ones((4, 2)), "a": jnp.ones((4, 2))}
+        eager = c(state, x).output
+        roundtrip = jax.tree.map(lambda v: v, c)
+        after = roundtrip(state, x).output
+        np.testing.assert_array_equal(eager, after)
+        jitted = jax.jit(lambda m, s, x: m(s, x).output)(c, state, x)
+        np.testing.assert_array_equal(eager, jitted)
+        # Sorted order: 'a' (3 cols) first, then 'z' (2 cols).
+        assert eager.shape == (4, 5)

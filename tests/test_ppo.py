@@ -210,6 +210,10 @@ def test_move_to_center_convergence():
         ppo=PPOConfig(
             n_envs=256, rollout_length=16, total_steps=1_500_000,
             learning_rate=5e-4, n_epochs=4, n_minibatches=4,
+            # Without grad clipping this config converges and then
+            # sometimes collapses (tanh-saturated actions -> exploding
+            # importance ratios on negative advantages) — seed lottery.
+            gradient_clipping=1.0,
         ),
         eval=EvalConfig(n_envs=64, max_episode_length=200, every_steps=500_000,
                         logging_percentiles=None),

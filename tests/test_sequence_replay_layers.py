@@ -39,10 +39,10 @@ def stepwise_replay(module, state, obs_seq, done_seq, extras_seq):
     return f(state, obs_seq, done_seq, extras_seq)
 
 
-@pytest.mark.parametrize("k", [1, 2, 3, 7])
+@pytest.mark.parametrize("k,T", [(1, 9), (2, 9), (3, 9), (7, 9), (3, 2), (2, 1), (5, 4)])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_delay_vectorized_matches_stepwise(k, seed):
-    T, B, F = 9, 5, 3
+def test_delay_vectorized_matches_stepwise(k, T, seed):
+    B, F = 5, 3
     delay = Delay.create(jnp.zeros(F), k_steps=k, initial_value=0.5)
     key = jax.random.key(seed)
     k1, k2, k3 = jax.random.split(key, 3)
