@@ -1,0 +1,189 @@
+"""Learning-curve parity: reference implementation vs this framework.
+
+Runs the reference (`/root/reference` — emiwar/nnx-ppo, flax.nnx) and
+this repo's `train_ppo` on the *identical* environment object, identical
+hyperparameters, and matched network architecture / seeds, then writes
+each run's eval learning curve to one shared CSV for side-by-side
+comparison (north star in BASELINE.md: "reward curve parity with
+reference within seed variance"; harness mirrors
+``/root/reference/examples/compare_with_brax.py:96-127``).
+
+The shared env is this repo's ``MoveToCenterEnv(reward_falloff=1.0,
+border_radius=10.0)`` — the same analytic spec the reference's own
+convergence gate uses (``/root/reference/nnx_ppo/algorithms/ppo_test.py:266-305``)
+— passed directly to *both* frameworks (both declare a structural
+``RLEnv`` protocol, so one env object serves both). Eval semantics match
+(done-latch, alive-masked reward accumulation), making
+``episode_reward mean`` over a fixed 100-step eval window directly
+comparable.
+
+Usage::
+
+    # one run (one impl, one seed) — prints curve rows, appends to CSV
+    python benchmarks/reference_parity.py --impl tpu --seed 22 \
+        --total-steps 2000000 --out benchmarks/results/parity_curves.csv
+
+    # everything (3 seeds x 2 impls), sequential subprocesses
+    python benchmarks/reference_parity.py --all --total-steps 2000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+DEFAULT_OUT = os.path.join(REPO, "benchmarks", "results", "parity_curves.csv")
+
+EVAL_EVERY = 100_000
+EVAL_ENVS = 64
+EVAL_EPISODE_LENGTH = 100
+HIDDEN = [128, 128]
+
+
+def _make_env():
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from nnx_ppo_tpu.test_dummies import MoveToCenterEnv
+
+    return MoveToCenterEnv(reward_falloff=1.0, border_radius=10.0)
+
+
+def _reward_mean(metrics: dict) -> float:
+    for key in ("episode_reward/mean", "episode_reward_mean"):
+        if key in metrics:
+            return float(metrics[key])
+    raise KeyError(f"no episode_reward mean in {sorted(metrics)}")
+
+
+def run_reference(seed: int, total_steps: int) -> list[tuple[int, float]]:
+    sys.path.insert(0, REFERENCE)
+    import dataclasses
+
+    from flax import nnx
+    from nnx_ppo.algorithms import config as ref_config
+    from nnx_ppo.algorithms import ppo as ref_ppo
+    from nnx_ppo.networks import factories as ref_factories
+
+    env = _make_env()
+    nets = ref_factories.make_mlp_actor_critic(
+        env.observation_size,
+        env.action_size,
+        actor_hidden_sizes=HIDDEN,
+        critic_hidden_sizes=HIDDEN,
+        rngs=nnx.Rngs(seed, action_sampling=seed),
+    )
+    cfg = ref_config.TrainConfig(
+        eval=dataclasses.replace(
+            ref_config.EvalConfig(),
+            every_steps=EVAL_EVERY,
+            n_envs=EVAL_ENVS,
+            max_episode_length=EVAL_EPISODE_LENGTH,
+            logging_percentiles=None,
+        ),
+        seed=seed,
+    )
+    result = ref_ppo.train_ppo(env, nets, cfg, total_steps=total_steps)
+    return [
+        (int(entry["step"]), _reward_mean(entry))
+        for entry in result.eval_history
+    ]
+
+
+def run_tpu(seed: int, total_steps: int) -> list[tuple[int, float]]:
+    import dataclasses
+
+    import jax
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from nnx_ppo_tpu.algorithms import EvalConfig, TrainConfig, train_ppo
+    from nnx_ppo_tpu.networks import make_mlp_actor_critic
+
+    env = _make_env()
+    nets = make_mlp_actor_critic(
+        env.observation_size,
+        env.action_size,
+        HIDDEN,
+        HIDDEN,
+        jax.random.key(seed),
+    )
+    cfg = TrainConfig(
+        eval=dataclasses.replace(
+            EvalConfig(),
+            every_steps=EVAL_EVERY,
+            n_envs=EVAL_ENVS,
+            max_episode_length=EVAL_EPISODE_LENGTH,
+            logging_percentiles=None,
+        ),
+        seed=seed,
+    )
+    result = train_ppo(env, nets, cfg, total_steps=total_steps)
+    return [
+        (int(entry["step"]), _reward_mean(entry))
+        for entry in result.eval_history
+    ]
+
+
+def append_csv(out: str, impl: str, seed: int, curve, wall_s: float) -> None:
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    exists = os.path.exists(out)
+    with open(out, "a", newline="") as f:
+        writer = csv.writer(f)
+        if not exists:
+            writer.writerow(["impl", "seed", "step", "episode_reward_mean",
+                            "wall_seconds"])
+        for step, reward in curve:
+            writer.writerow([impl, seed, step, f"{reward:.4f}", f"{wall_s:.1f}"])
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--impl", choices=["reference", "tpu"])
+    parser.add_argument("--seed", type=int, default=22)
+    parser.add_argument("--total-steps", type=int, default=2_000_000)
+    parser.add_argument("--out", default=DEFAULT_OUT)
+    parser.add_argument("--all", action="store_true",
+                        help="run 3 seeds x 2 impls as subprocesses")
+    parser.add_argument("--seeds", type=int, nargs="+", default=[22, 23, 24])
+    args = parser.parse_args()
+
+    if args.all:
+        for impl in ("tpu", "reference"):
+            for seed in args.seeds:
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--impl", impl, "--seed", str(seed),
+                    "--total-steps", str(args.total_steps),
+                    "--out", args.out,
+                ]
+                print(f"=== {impl} seed={seed} ===", flush=True)
+                subprocess.run(cmd, check=True)
+        return
+
+    # Force CPU for both impls — apples-to-apples, and the env var alone
+    # is not enough where site hooks force a tunneled-TPU platform
+    # programmatically (see tests/conftest.py).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    start = time.perf_counter()
+    runner = run_reference if args.impl == "reference" else run_tpu
+    curve = runner(args.seed, args.total_steps)
+    wall = time.perf_counter() - start
+    append_csv(args.out, args.impl, args.seed, curve, wall)
+    for step, reward in curve:
+        print(f"{args.impl} seed={args.seed} step={step} reward={reward:.2f}",
+              flush=True)
+    print(f"wall: {wall:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

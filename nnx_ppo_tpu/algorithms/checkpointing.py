@@ -13,9 +13,17 @@ same constraint the reference works around, ``checkpointing.py:22-39``).
 Layout::
 
     {directory}/step_{step:010d}/
-        state/          orbax checkpoint of all non-key array leaves
-        metadata.pkl    key leaves (as uint32 key_data + impl), step,
+        state/          orbax checkpoint of all non-key array leaves,
+                        stored under structure-derived names
+                        (``optimizer.0.mu. ... .kernel``)
+        metadata.pkl    format_version, ordered leaf-name list, key
+                        leaves (as uint32 key_data + impl), step,
                         optional TrainConfig
+
+Format v2 stores every leaf under its pytree key-path name, so a
+restore into a same-leaf-count but differently-structured template
+fails with an explicit path mismatch instead of silently misassigning
+leaves; v1 (integer-indexed) checkpoints remain loadable.
 """
 
 from __future__ import annotations
@@ -39,26 +47,76 @@ class CheckpointCallback(Protocol):
     def __call__(self, training_state: TrainingState, step: int) -> None: ...
 
 
+CHECKPOINT_FORMAT_VERSION = 2
+
+
 def _is_key_leaf(x: Any) -> bool:
     return isinstance(x, jax.Array) and jnp.issubdtype(
         x.dtype, jax.dtypes.prng_key
     )
 
 
+def _path_name(path: tuple) -> str:
+    """Human-readable, structure-derived leaf name, e.g.
+    ``optimizer.0.mu.networks.layers.1.kernel`` ('.'-joined so names
+    stay valid storage keys for orbax's file-per-parameter layouts)."""
+    from jax.tree_util import (
+        DictKey,
+        FlattenedIndexKey,
+        GetAttrKey,
+        SequenceKey,
+    )
+
+    parts = []
+    for entry in path:
+        if isinstance(entry, DictKey):
+            parts.append(str(entry.key))
+        elif isinstance(entry, SequenceKey):
+            parts.append(str(entry.idx))
+        elif isinstance(entry, GetAttrKey):
+            parts.append(entry.name)
+        elif isinstance(entry, FlattenedIndexKey):
+            parts.append(str(entry.key))
+        else:
+            parts.append(str(entry))
+    return ".".join(p.replace("/", "⁄") for p in parts) if parts else "<root>"
+
+
+def _named_leaves(tree: Any) -> list[tuple[str, Any]]:
+    """Flatten with key paths into unique ``(name, leaf)`` pairs.
+
+    Named storage is what makes a restore into a structurally different
+    template fail loudly (path mismatch) instead of silently
+    misassigning same-count/same-shape leaves — see ``load_checkpoint``.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    named = [(_path_name(path), leaf) for path, leaf in flat]
+    seen: dict[str, int] = {}
+    unique = []
+    for name, leaf in named:
+        n = seen.get(name, 0)
+        seen[name] = n + 1
+        # Disambiguate pathological collisions (e.g. dict keys that
+        # themselves contain '/') deterministically.
+        unique.append((name if n == 0 else f"{name}#{n}", leaf))
+    return unique
+
+
 def _split_leaves(tree: Any):
-    """Flatten into (orbax-storable arrays dict, pickled key-leaf dict)."""
-    leaves = jax.tree.leaves(tree)
+    """Split named leaves into (orbax-storable arrays, pickled key leaves)."""
     arrays: dict[str, Any] = {}
-    key_leaves: dict[int, dict[str, Any]] = {}
-    for i, leaf in enumerate(leaves):
+    key_leaves: dict[str, dict[str, Any]] = {}
+    names = []
+    for name, leaf in _named_leaves(tree):
+        names.append(name)
         if _is_key_leaf(leaf):
-            key_leaves[i] = {
+            key_leaves[name] = {
                 "data": np.asarray(jax.random.key_data(leaf)),
                 "impl": str(jax.random.key_impl(leaf)),
             }
         else:
-            arrays[str(i)] = leaf
-    return arrays, key_leaves, len(leaves)
+            arrays[name] = leaf
+    return arrays, key_leaves, names
 
 
 def save_checkpoint(
@@ -71,7 +129,7 @@ def save_checkpoint(
     import orbax.checkpoint as ocp
 
     os.makedirs(step_dir, exist_ok=True)
-    arrays, key_leaves, n_leaves = _split_leaves(training_state)
+    arrays, key_leaves, names = _split_leaves(training_state)
 
     checkpointer = ocp.StandardCheckpointer()
     try:
@@ -80,8 +138,10 @@ def save_checkpoint(
         checkpointer.close()  # ensure async writes complete
 
     metadata = {
+        "format_version": CHECKPOINT_FORMAT_VERSION,
         "key_leaves": key_leaves,
-        "n_leaves": n_leaves,
+        "leaf_names": names,
+        "n_leaves": len(names),
         "step": step,
         "config": config,
     }
@@ -121,19 +181,42 @@ def load_checkpoint(path: str, training_state: TrainingState) -> dict[str, Any]:
     with open(os.path.join(path, "metadata.pkl"), "rb") as f:
         metadata = pickle.load(f)
 
-    leaves, treedef = jax.tree.flatten(training_state)
-    if len(leaves) != metadata["n_leaves"]:
-        raise ValueError(
-            f"template has {len(leaves)} leaves but checkpoint has "
-            f"{metadata['n_leaves']} — architecture mismatch"
-        )
+    version = metadata.get("format_version", 1)
+    treedef = jax.tree.structure(training_state)
+    named = _named_leaves(training_state)
+
+    if version >= 2:
+        template_names = [name for name, _ in named]
+        ckpt_names = metadata["leaf_names"]
+        if template_names != ckpt_names:
+            missing = sorted(set(ckpt_names) - set(template_names))
+            extra = sorted(set(template_names) - set(ckpt_names))
+            raise ValueError(
+                "checkpoint/template structure mismatch:\n"
+                f"  in checkpoint but not template: {missing[:10]}\n"
+                f"  in template but not checkpoint: {extra[:10]}\n"
+                "(named-leaf layout, format v2 — restoring into a "
+                "different architecture is not supported)"
+            )
+        storage_names = template_names
+    else:
+        # Legacy v1 layout: integer-indexed leaves in flatten order.
+        if len(named) != metadata["n_leaves"]:
+            raise ValueError(
+                f"template has {len(named)} leaves but checkpoint has "
+                f"{metadata['n_leaves']} — architecture mismatch"
+            )
+        storage_names = [str(i) for i in range(len(named))]
+        metadata["key_leaves"] = {
+            str(i): v for i, v in metadata["key_leaves"].items()
+        }
 
     abstract = {}
-    for i, leaf in enumerate(leaves):
+    for storage_name, (_, leaf) in zip(storage_names, named):
         if _is_key_leaf(leaf):
             continue
         sharding = leaf.sharding if isinstance(leaf, jax.Array) else None
-        abstract[str(i)] = jax.ShapeDtypeStruct(
+        abstract[storage_name] = jax.ShapeDtypeStruct(
             jnp.shape(leaf), jnp.result_type(leaf), sharding=sharding
         )
 
@@ -144,16 +227,16 @@ def load_checkpoint(path: str, training_state: TrainingState) -> dict[str, Any]:
         checkpointer.close()
 
     new_leaves = []
-    for i, leaf in enumerate(leaves):
-        if i in metadata["key_leaves"]:
-            entry = metadata["key_leaves"][i]
+    for storage_name, (_, leaf) in zip(storage_names, named):
+        if storage_name in metadata["key_leaves"]:
+            entry = metadata["key_leaves"][storage_name]
             new_leaves.append(
                 jax.random.wrap_key_data(
                     jnp.asarray(entry["data"]), impl=entry["impl"]
                 )
             )
         else:
-            new_leaves.append(restored[str(i)])
+            new_leaves.append(restored[storage_name])
     restored_state = jax.tree.unflatten(treedef, new_leaves)
 
     return {

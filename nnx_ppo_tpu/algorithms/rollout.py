@@ -14,6 +14,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Key
 
 from nnx_ppo_tpu.core.struct import tree_where
 from nnx_ppo_tpu.algorithms.types import EnvState, RLEnv, Transition
@@ -24,7 +25,7 @@ def single_transition(
     env: RLEnv,
     networks: StatefulModule,
     carry: tuple[ModuleState, EnvState],
-    rng_keys_for_env_reset: jax.Array,
+    rng_keys_for_env_reset: Key[jax.Array, "batch"],
 ) -> tuple[tuple[ModuleState, EnvState], Transition]:
     """One batched env step: net forward → env.step → auto-reset both
     the env state and the net carry where ``done``.
@@ -65,7 +66,7 @@ def unroll_env(
     networks: StatefulModule,
     network_state: ModuleState,
     unroll_length: int,
-    rng_key_for_env_reset: jax.Array,
+    rng_key_for_env_reset: Key[jax.Array, ""],
 ) -> tuple[ModuleState, EnvState, Transition]:
     """Scan :func:`single_transition` over T steps with pre-split
     ``[T, B]`` reset keys. Reference: ``rollout.py:48-73``."""
@@ -112,7 +113,7 @@ def eval_rollout(
     networks: StatefulModule,
     n_envs: int,
     max_episode_length: int,
-    key: jax.Array,
+    key: Key[jax.Array, ""],
     logging_percentiles: Optional[tuple[int, ...]] = None,
 ) -> dict[str, jax.Array]:
     """Fresh-env evaluation: done latches, reward accumulates only while
@@ -211,7 +212,7 @@ def eval_rollout_for_render_scan(
     env: RLEnv,
     networks: StatefulModule,
     max_episode_length: int,
-    key: jax.Array,
+    key: Key[jax.Array, ""],
 ) -> tuple[SlimState, SlimState, jax.Array]:
     """Single-env scan collecting stacked :class:`SlimState` s for host-
     side rendering. Reference: ``rollout.py:188-255``.

@@ -31,6 +31,7 @@ Every field of a :func:`pytree_dataclass` has a *role*:
 from __future__ import annotations
 
 import dataclasses
+import typing
 from typing import Any, Callable, TypeVar
 
 import jax
@@ -72,6 +73,15 @@ def pytree_dataclass(cls: type[T]) -> type[T]:
     under ``jit`` and participate in the jit cache key).
     """
     cls = dataclasses.dataclass(frozen=True, repr=False)(cls)
+    # Exempt the generated __init__ from runtime type-check hooks
+    # (jaxtyping/typeguard, installed suite-wide by tests/conftest.py):
+    # pytree reconstruction and mask building (param_mask, tree_where
+    # internals) legitimately rebuild nodes with placeholder leaves
+    # (booleans, Nones, tracers) via dataclasses.replace. Same rationale
+    # as the reference's JaxDataclass bypassing __init__ in
+    # tree_unflatten (nnx_ppo/jax_dataclass.py:3-11). Method bodies and
+    # module functions remain fully checked.
+    cls.__init__ = typing.no_type_check(cls.__init__)
     data_fields = []
     meta_fields = []
     for f in dataclasses.fields(cls):

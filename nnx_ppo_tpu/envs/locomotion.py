@@ -33,9 +33,9 @@ class JoystickLocomotion:
 
     Observation::
 
-        {"proprio": [10]  (body-frame vel (3), actuator states (8 → 3
-                           summarized? no — see below), gravity-frame
-                           heading),
+        {"proprio": [14]  (body-frame vel (3) ‖ actuator states (8) ‖
+                           cos(heading), sin(heading), height
+                           oscillator (3)),
          "command": [3]   (vx*, vy*, ω*)}
 
     Action: ``[8]`` in [-1, 1] (joint-like actuators).

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 from nnx_ppo_tpu.core.struct import pytree_dataclass, static_field
 from nnx_ppo_tpu.networks.types import ModuleOutput, StatefulModule
 
-Initializer = Callable[[jax.Array, tuple[int, ...], Any], jax.Array]
+# Deliberately un-parameterized: jax initializers take (key, shape[,
+# dtype]) with a defaulted dtype, which strict Callable[...] params
+# reject under the test suite's typeguard hook.
+Initializer = Callable
 
 
 @pytree_dataclass

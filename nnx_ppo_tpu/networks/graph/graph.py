@@ -29,7 +29,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from nnx_ppo_tpu.core.struct import pytree_dataclass, static_field
+from nnx_ppo_tpu.core.struct import pytree_dataclass, static_field, tree_where
 from nnx_ppo_tpu.networks.feedforward import Dense
 from nnx_ppo_tpu.networks.graph.connection import Connection
 from nnx_ppo_tpu.networks.graph.population import Population
@@ -303,6 +303,346 @@ class PopulationGraph(StatefulModule):
             metrics=metrics,
             rollout_extras={"connections": tuple(new_conn_extras)},
         )
+
+    def _condensation(self) -> tuple[tuple[str, ...], ...]:
+        """SCC condensation of the *full* edge set (delay-0 AND delayed),
+        in topological order, each SCC's members in global topo order.
+
+        Populations in a singleton SCC with no self-edge have no time
+        recurrence of their own — their whole activation sequence is a
+        closed-form function of already-computed sequences. SCCs with
+        cycles (necessarily through delayed edges; delay-0 cycles are
+        rejected at finalize) are genuine time recurrences and must be
+        scanned. Pure static-structure computation (trace-time only).
+        """
+        names = [p.name for p in self.populations]
+        succ = {n: [] for n in names}
+        for conn in self.connections:
+            succ[conn.src].append(conn.dst)
+
+        # Iterative Tarjan SCC.
+        index: dict[str, int] = {}
+        low: dict[str, int] = {}
+        on_stack: set[str] = set()
+        stack: list[str] = []
+        sccs: list[tuple[str, ...]] = []
+        counter = [0]
+
+        def strongconnect(root: str) -> None:
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recurse = False
+                for j in range(pi, len(succ[v])):
+                    w = succ[v][j]
+                    if w not in index:
+                        work[-1] = (v, j + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(tuple(comp))
+                work.pop()
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+        for n in names:
+            if n not in index:
+                strongconnect(n)
+        # Tarjan emits SCCs in reverse topological order.
+        sccs.reverse()
+        topo_pos = {n: i for i, n in enumerate(self.topo_order)}
+        return tuple(
+            tuple(sorted(comp, key=topo_pos.__getitem__)) for comp in sccs
+        )
+
+    def replay_sequence(self, state, obs_seq, done_seq, extras_seq):
+        """Time-fused loss replay of the whole graph.
+
+        Populations are partitioned by SCC condensation over the full
+        edge set (:meth:`_condensation`):
+
+        * **Acyclic populations** process the whole ``[T, B]`` sequence
+          at once; every incoming edge transform replays via its own
+          ``replay_sequence`` (fully batched over ``T·B`` for Dense &
+          friends — T× larger MXU matmuls, no per-step dispatches). A
+          delay-``k`` edge's input is closed-form: the source sequence
+          shifted by ``k``, gated by "no episode reset in steps
+          ``[t-k, t-1]``" (a done-prefix-sum mask; a reset wipes the
+          write of the reset step too), with the first ``k`` steps read
+          from the *initial carry's* ring buffer at the rotated slot.
+        * **Recurrent cores** (SCCs with delayed cycles — delay-0
+          cycles are rejected at finalize) run a minimal ``lax.scan``
+          over T covering ONLY the core's populations and
+          *intra-core* edges, with every edge arriving from outside the
+          core precomputed in batch and fed as scan inputs — the
+          hoisted-input-projection pattern (cf. the LSTM fused replay).
+        * The final ring-buffer carry is recomputed by one cheap
+          transform-free masked-write scan.
+
+        Exactness vs the step-wise path (outputs, reg, final carry,
+        gradients) is covered by ``tests/test_graph.py``
+        (reference capability: step-wise only,
+        ``nnx_ppo/networks/graph/graph.py:339-381``).
+        """
+        T, B = done_seq.shape
+        pop_state = state["populations"]
+        conn_state = state["connections"]
+        conn_extras = (
+            (None,) * len(self.transforms)
+            if extras_seq is None
+            else extras_seq["connections"]
+        )
+        pops = {p.name: p for p in self.populations}
+
+        done_f = done_seq.astype(jnp.float32)
+        # prefix[t] = number of dones in steps [0, t-1];  [T+1, B]
+        prefix = jnp.concatenate(
+            [jnp.zeros((1, B)), jnp.cumsum(done_f, axis=0)], axis=0
+        )
+        t_idx = jnp.arange(T)
+
+        acts: dict[str, jax.Array] = {}
+        new_conn_state: list[Any] = list(conn_state)
+        reg_total = jnp.zeros((T, B))
+
+        def delayed_src_seq(src_name: str, k: int) -> jax.Array:
+            """Closed-form delayed read of an already-computed source."""
+            src_pop = pops[src_name]
+            L = src_pop.max_outgoing_delay
+            act_src = acts[src_name]
+            size = src_pop.size
+            if k < T:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((k, B, size)), act_src[: T - k]], axis=0
+                )
+            else:
+                shifted = jnp.zeros((T, B, size))
+            # Reads predating the replay window come from the initial
+            # carry's ring buffer, k-t slots before the write position.
+            buf0 = pop_state[src_name]["buffer"]  # [B, L, size]
+            idx0 = pop_state[src_name]["buffer_idx"]  # [B]
+            read_pos = (idx0[None, :] + (t_idx[:, None] - k)) % L
+            onehot = jax.nn.one_hot(read_pos, L, dtype=buf0.dtype)
+            init_read = jnp.einsum("tbl,bls->tbs", onehot, buf0)
+            # No reset allowed in steps [max(t-k, 0), t-1].
+            win_start = jnp.maximum(t_idx - k, 0)
+            no_reset = (prefix[t_idx] - prefix[win_start]) == 0
+            base = jnp.where((t_idx >= k)[:, None, None], shifted, init_read)
+            return jnp.where(no_reset[:, :, None], base, 0.0)
+
+        def external_edge_seq(i: int) -> jax.Array:
+            """Batched replay of edge i whose source is already computed;
+            accumulates reg and final carry."""
+            nonlocal reg_total
+            conn = self.connections[i]
+            src_seq = (
+                acts[conn.src]
+                if conn.delay == 0
+                else delayed_src_seq(conn.src, conn.delay)
+            )
+            out_seq, reg_seq, final_conn = self.transforms[i].replay_sequence(
+                conn_state[i], src_seq, done_seq, conn_extras[i]
+            )
+            new_conn_state[i] = final_conn
+            reg_total = reg_total + reg_seq
+            return out_seq
+
+        for group in self._condensation():
+            has_cycle = len(group) > 1 or any(
+                c.src == c.dst == group[0] for c in self.connections
+            )
+            if not has_cycle:
+                pop_name = group[0]
+                pop = pops[pop_name]
+                integrated = jnp.zeros((T, B, pop.size))
+                if pop.input_from is not None:
+                    integrated = integrated + obs_seq[pop.input_from]
+                for i in self._incoming_of(pop_name):
+                    integrated = integrated + external_edge_seq(i)
+                acts[pop_name] = (
+                    pop.activation(integrated)
+                    if pop.activation is not None
+                    else integrated
+                )
+                continue
+
+            # ---- recurrent core: minimal scan over T ----
+            members = set(group)
+            internal_edges: list[int] = []
+            ext_inputs = {
+                n: jnp.zeros((T, B, pops[n].size)) for n in group
+            }
+            for n in group:
+                if pops[n].input_from is not None:
+                    ext_inputs[n] = ext_inputs[n] + obs_seq[pops[n].input_from]
+                for i in self._incoming_of(n):
+                    if self.connections[i].src in members:
+                        internal_edges.append(i)
+                    else:
+                        ext_inputs[n] = ext_inputs[n] + external_edge_seq(i)
+
+            # In-scan ring buffers: only sources of internal delayed
+            # edges need one during the scan.
+            scan_buffered = sorted(
+                {
+                    self.connections[i].src
+                    for i in internal_edges
+                    if self.connections[i].delay > 0
+                },
+                key=list(self.topo_order).index,
+            )
+            init_carry = {
+                "bufs": {
+                    n: (
+                        pop_state[n]["buffer"],
+                        pop_state[n]["buffer_idx"],
+                    )
+                    for n in scan_buffered
+                },
+                "conns": {i: conn_state[i] for i in internal_edges},
+            }
+            internal_extras = {
+                i: conn_extras[i] for i in internal_edges
+            }
+
+            def group_step(carry, xs, group=group, members=members,
+                           internal_edges=internal_edges,
+                           scan_buffered=scan_buffered):
+                ext_t, extras_t, done_t = xs
+                current: dict[str, jax.Array] = {}
+                new_conns = dict(carry["conns"])
+                reg_t = jnp.zeros((B,))
+                for n in group:  # global topo order within the group
+                    integrated = ext_t[n]
+                    for i in self._incoming_of(n):
+                        if i not in new_conns:  # external, precomputed
+                            continue
+                        conn = self.connections[i]
+                        if conn.delay == 0:
+                            src_out = current[conn.src]
+                        else:
+                            L = pops[conn.src].max_outgoing_delay
+                            buf, idx = carry["bufs"][conn.src]
+                            read_idx = (idx - conn.delay) % L
+                            onehot = jax.nn.one_hot(read_idx, L,
+                                                    dtype=buf.dtype)
+                            src_out = jnp.einsum("bl,bls->bs", onehot, buf)
+                        out = self.transforms[i](
+                            carry["conns"][i], src_out, extras_t[i]
+                        )
+                        new_conns[i] = out.next_state
+                        integrated = integrated + out.output
+                        reg_t = reg_t + jnp.broadcast_to(
+                            out.regularization_loss, (B,)
+                        )
+                    current[n] = (
+                        pops[n].activation(integrated)
+                        if pops[n].activation is not None
+                        else integrated
+                    )
+                new_bufs = {}
+                for n in scan_buffered:
+                    buf, idx = carry["bufs"][n]
+                    L = pops[n].max_outgoing_delay
+                    mask = jax.nn.one_hot(idx, L, dtype=jnp.bool_)[:, :, None]
+                    buf = jnp.where(mask, current[n][:, None, :], buf)
+                    idx = (idx + 1) % L
+                    buf = jnp.where(done_t[:, None, None], 0.0, buf)
+                    idx = jnp.where(done_t, 0, idx)
+                    new_bufs[n] = (buf, idx)
+                # Post-step done reset of internal transform carries.
+                for i in internal_edges:
+                    reset = self.transforms[i].reset_state(new_conns[i])
+                    new_conns[i] = tree_where(done_t, reset, new_conns[i])
+                return (
+                    {"bufs": new_bufs, "conns": new_conns},
+                    (current, reg_t),
+                )
+
+            final_carry, (group_acts, group_reg) = jax.lax.scan(
+                group_step,
+                init_carry,
+                (ext_inputs, internal_extras, done_seq.astype(bool)),
+            )
+            for n in group:
+                acts[n] = group_acts[n]
+            reg_total = reg_total + group_reg
+            for i in internal_edges:
+                new_conn_state[i] = final_carry["conns"][i]
+
+        outputs = {
+            output_key: acts[pop_name]
+            for output_key, pop_name in self.output_pops
+        }
+
+        # Final ring-buffer state: a transform-free masked-write scan
+        # (write act[t], then zero everything where done[t] — matching
+        # the step-wise order where reset wipes the same step's write).
+        buffered = [p for p in self.populations if p.max_outgoing_delay > 0]
+        if buffered:
+            init = {
+                p.name: (
+                    pop_state[p.name]["buffer"],
+                    pop_state[p.name]["buffer_idx"],
+                )
+                for p in buffered
+            }
+            act_stack = {p.name: acts[p.name] for p in buffered}
+
+            def buf_step(carry, xs):
+                acts_t, done_t = xs
+                new_carry = {}
+                for p in buffered:
+                    buf, idx = carry[p.name]
+                    L = p.max_outgoing_delay
+                    mask = jax.nn.one_hot(idx, L, dtype=jnp.bool_)[:, :, None]
+                    buf = jnp.where(mask, acts_t[p.name][:, None, :], buf)
+                    idx = (idx + 1) % L
+                    buf = jnp.where(done_t[:, None, None], 0.0, buf)
+                    idx = jnp.where(done_t, 0, idx)
+                    new_carry[p.name] = (buf, idx)
+                return new_carry, None
+
+            final_bufs, _ = jax.lax.scan(
+                buf_step, init, (act_stack, done_seq.astype(bool))
+            )
+        else:
+            final_bufs = {}
+
+        final_pop_state = {
+            p.name: (
+                {
+                    "buffer": final_bufs[p.name][0],
+                    "buffer_idx": final_bufs[p.name][1],
+                }
+                if p.max_outgoing_delay > 0
+                else {}
+            )
+            for p in self.populations
+        }
+        final_state = {
+            "populations": final_pop_state,
+            "connections": tuple(new_conn_state),
+        }
+        return outputs, reg_total, final_state
 
     def update_statistics(self, rollout_extras: Any) -> "PopulationGraph":
         conn_extras = rollout_extras["connections"]

@@ -91,7 +91,7 @@ class NormalTanhSampler(ActionSampler):
         self,
         state: jax.Array,
         mean_and_std: jax.Array,
-        rollout_extras: Optional[jax.Array] = None,
+        rollout_extras: Optional[dict] = None,
     ) -> ModuleOutput:
         next_keys, action_keys, entropy_keys = split_per_env_keys(state, 3)
         mean, std = jnp.split(mean_and_std, 2, axis=-1)

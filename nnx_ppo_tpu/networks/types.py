@@ -41,6 +41,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Key
 
 from nnx_ppo_tpu.core import struct
 from nnx_ppo_tpu.core.struct import pytree_dataclass, static_field
@@ -152,10 +153,19 @@ class StatefulModule(abc.ABC):
             output_seq, reg_seq = jax.vmap(forward_t)(
                 per_step, obs_seq, extras_seq
             )
-            # Final carry: the (T+1)-th derived keys — fresh randomness
-            # for the bootstrap forward, independent of every per-step
-            # subkey (non-key leaves are unchanged broadcasts).
-            final_state = jax.tree.map(lambda x: x[T], state_t)
+            # Final carry: key leaves advance by the same chained
+            # next-key split the sequential scan performs, so the T+1
+            # bootstrap forward (extras=None → fresh draw) uses keys
+            # independent of every sample key consumed during the
+            # rollout. Non-key leaves are returned unchanged — legal
+            # only because a replay-time-static module's non-key carry
+            # must be constant across steps (see ``replay_time_static``).
+            final_state = jax.tree.map(
+                lambda x: advance_per_env_keys(x, T)
+                if jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+                else x,
+                module_state,
+            )
             return output_seq, _normalize_reg(reg_seq, T, B), final_state
 
         def step(state, xs):
@@ -185,6 +195,14 @@ class StatefulModule(abc.ABC):
         (e.g. the sampler stores its entropy noise, the variational
         bottleneck its reparameterization eps), so replay never touches
         the carry RNG chain.
+
+        Additional invariant the fused path relies on: a
+        replay-time-static module's **non-key carry leaves must be
+        constant across steps** (empty, or PRNG keys). The fused final
+        carry returns non-key leaves unchanged; a module whose non-key
+        carry evolved per step would bootstrap from the t=0 value.
+        Modules with meaningful evolving carries must either return
+        False here or override ``replay_sequence``.
 
         Default False (conservative): genuinely recurrent modules
         (LSTM/GRU/Delay/AR1/PopulationGraph) and unknown user modules
@@ -226,14 +244,34 @@ def expand_state_over_time(module_state: ModuleState, unroll_length: int) -> Any
     return jax.tree.map(expand, module_state)
 
 
-def split_per_env_keys(keys: jax.Array, num: int = 2) -> tuple[jax.Array, ...]:
+def split_per_env_keys(
+    keys: "Key[jax.Array, 'batch']", num: int = 2
+) -> "tuple[Key[jax.Array, 'batch'], ...]":
     """Split a ``[B]`` array of PRNG keys into ``num`` per-env subkey
     arrays — the carry-state RNG advance used by stochastic layers."""
     split = jax.vmap(lambda k: jax.random.split(k, num))(keys)
     return tuple(split[:, i] for i in range(num))
 
 
-def make_per_env_keys(base_key: jax.Array, batch_size: int) -> jax.Array:
+def advance_per_env_keys(
+    keys: "Key[jax.Array, 'batch']", n_steps: int
+) -> "Key[jax.Array, 'batch']":
+    """Advance a ``[B]`` per-env key array by ``n_steps`` chained
+    next-key splits — the same ``split_per_env_keys(...)[0]`` chain the
+    sequential scan walks, so fused sequence replay can hand the T+1
+    bootstrap forward keys that match the step-wise path and are
+    independent of every per-step sample key."""
+
+    def step(k, _):
+        return split_per_env_keys(k, 2)[0], None
+
+    advanced, _ = jax.lax.scan(step, keys, None, length=n_steps)
+    return advanced
+
+
+def make_per_env_keys(
+    base_key: "Key[jax.Array, '']", batch_size: int
+) -> "Key[jax.Array, 'batch']":
     """Derive ``[batch_size]`` independent per-env keys from a base key."""
     return jax.random.split(base_key, batch_size)
 

@@ -20,6 +20,7 @@ from nnx_ppo_tpu.core.struct import field, pytree_dataclass, static_field
 from nnx_ppo_tpu.networks.types import (
     ModuleOutput,
     StatefulModule,
+    advance_per_env_keys,
     make_per_env_keys,
     split_per_env_keys,
 )
@@ -192,7 +193,11 @@ class AR1VariationalBottleneck(StatefulModule):
         l2_seq = self._ar1_penalty(z_seq, prev_z)
 
         final_last_z = jnp.where(done_seq[-1][..., None], nan, z_seq[-1])
-        final_state = {"keys": state["keys"], "last_z": final_last_z}
+        # Advance the per-env RNG chain exactly as the step-wise scan
+        # would (T next-key splits), so the T+1 bootstrap forward draws
+        # eps independent of every eps consumed during the rollout.
+        final_keys = advance_per_env_keys(state["keys"], done_seq.shape[0])
+        final_state = {"keys": final_keys, "last_z": final_last_z}
         reg_seq = self.kl_weight * kl_seq + self.ar1_weight * l2_seq
         return z_seq, reg_seq, final_state
 

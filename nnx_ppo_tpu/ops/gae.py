@@ -30,6 +30,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Float, Shaped
+
+# jaxtyping shape aliases for the runtime shape-check mode (the test
+# suite installs a typeguard import hook over the whole package —
+# tests/conftest.py — mirroring reference nnx_ppo/conftest.py:10).
+TimeBatch = Float[jax.Array, "time batch"]
+TimeBatchAny = Shaped[jax.Array, "time batch"]
+Batch = Float[jax.Array, "batch"]
 
 
 def _gae_step(carry, xs, *, lambda_, gamma):
@@ -43,14 +51,14 @@ def _gae_step(carry, xs, *, lambda_, gamma):
 
 
 def gae_scan(
-    rewards: jax.Array,
-    values_excl_last: jax.Array,
-    last_value: jax.Array,
-    done: jax.Array,
-    truncation: jax.Array,
-    lambda_,
-    gamma,
-) -> jax.Array:
+    rewards: TimeBatch,
+    values_excl_last: TimeBatch,
+    last_value: Batch,
+    done: TimeBatchAny,
+    truncation: TimeBatchAny,
+    lambda_: float,
+    gamma: float,
+) -> TimeBatch:
     """Reverse-time GAE via ``lax.scan``. Shapes: rewards/values/done/
     truncation ``[T, B]``, last_value ``[B]`` → advantages ``[T, B]``."""
     last_value = last_value.reshape((1, last_value.shape[0]))
@@ -94,15 +102,15 @@ def _gae_kernel(rewards_ref, values_ref, done_ref, trunc_ref, out_ref, *, lambda
 
 
 def gae_pallas(
-    rewards: jax.Array,
-    values_excl_last: jax.Array,
-    last_value: jax.Array,
-    done: jax.Array,
-    truncation: jax.Array,
-    lambda_,
-    gamma,
+    rewards: TimeBatch,
+    values_excl_last: TimeBatch,
+    last_value: Batch,
+    done: TimeBatchAny,
+    truncation: TimeBatchAny,
+    lambda_: float,
+    gamma: float,
     interpret: bool = False,
-) -> jax.Array:
+) -> TimeBatch:
     """Single fused TPU kernel for the full [T, B] GAE recurrence."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -145,15 +153,15 @@ def _fits_vmem(T: int, B: int) -> bool:
 
 
 def gae(
-    rewards: jax.Array,
-    values_excl_last: jax.Array,
-    last_value: jax.Array,
-    done: jax.Array,
-    truncation: jax.Array,
-    lambda_,
-    gamma,
+    rewards: TimeBatch,
+    values_excl_last: TimeBatch,
+    last_value: Batch,
+    done: TimeBatchAny,
+    truncation: TimeBatchAny,
+    lambda_: float,
+    gamma: float,
     allow_pallas: bool = True,
-) -> jax.Array:
+) -> TimeBatch:
     """GAE with automatic backend dispatch (Pallas on TPU, scan elsewhere).
 
     API parity with reference ``gae`` (``ppo.py:351-394``).

@@ -7,7 +7,7 @@ from nnx_ppo_tpu.test_dummies.dict_obs_act_env import (
     TwoArmEnv,
     TwoArmNet,
 )
-from nnx_ppo_tpu.test_dummies.mock_env import MockEnv, MockEnvState
+from nnx_ppo_tpu.test_dummies.mock_env import MockEnv
 from nnx_ppo_tpu.test_dummies.dummy_counter import DummyCounterEnv, DummyCounterNet
 from nnx_ppo_tpu.test_dummies.move_to_center_env import MoveToCenterEnv
 from nnx_ppo_tpu.test_dummies.move_from_center_env import MoveFromCenterEnv
@@ -20,7 +20,6 @@ __all__ = [
     "TwoArmEnv",
     "TwoArmNet",
     "MockEnv",
-    "MockEnvState",
     "DummyCounterEnv",
     "DummyCounterNet",
     "MoveToCenterEnv",

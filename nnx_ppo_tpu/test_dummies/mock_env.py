@@ -1,30 +1,29 @@
-"""Mock environment for testing stateful networks with rollouts
-(capability parity with reference ``test_dummies/mock_env.py``)."""
+"""Scripted reset-schedule environment for rollout-machinery tests.
+
+Original fixture for this repo's suite (fills the role of the
+reference's ``test_dummies/mock_env.py``: an action-agnostic env whose
+only dynamics are a deterministic done schedule, so tests can assert
+auto-reset bookkeeping exactly). Written against this framework's
+:class:`nnx_ppo_tpu.envs.types.State` pytree: the per-env observation
+stream is driven by a PRNG key carried in ``state.data`` and advanced
+by splitting, and the tick counter lives alongside it.
+"""
 
 from __future__ import annotations
-
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 
-from nnx_ppo_tpu.core.struct import pytree_dataclass
-
-
-@pytree_dataclass
-class MockEnvState:
-    """Simple mock environment state."""
-
-    obs: jax.Array
-    reward: jax.Array
-    done: jax.Array
-    step_count: jax.Array
-    info: dict[str, Any]
-    metrics: dict[str, Any]
+from nnx_ppo_tpu.envs.types import State
 
 
 class MockEnv:
-    """Random-obs env that resets every ``max_steps``; actions ignored."""
+    """Ignores actions; emits ``done`` every ``max_steps`` steps.
+
+    Reward is a constant 1.0 per step (0.0 at reset), so
+    ``rewards.sum() == T * B`` over any rollout — tests use this to
+    prove no transition is dropped or double-counted across auto-resets.
+    """
 
     def __init__(self, obs_size: int, action_size: int, max_steps: int = 5):
         self.obs_size = obs_size
@@ -32,27 +31,29 @@ class MockEnv:
         self.max_steps = max_steps
         self.observation_size = obs_size
 
-    def reset(self, rng: jax.Array) -> MockEnvState:
-        (obs_key,) = jax.random.split(rng, 1)
-        return MockEnvState(
-            obs=jax.random.normal(obs_key, (self.obs_size,)),
-            reward=jnp.array(0.0),
-            done=jnp.array(False),
-            step_count=jnp.array(0),
+    def _fresh_obs(self, key: jax.Array) -> jax.Array:
+        return jax.random.normal(key, (self.obs_size,))
+
+    def reset(self, rng: jax.Array) -> State:
+        obs_key, carry_key = jax.random.split(rng)
+        return State(
+            data={"key": carry_key, "ticks": jnp.zeros((), jnp.int32)},
+            obs=self._fresh_obs(obs_key),
+            reward=jnp.zeros(()),
+            done=jnp.zeros((), bool),
             info={},
             metrics={},
         )
 
-    def step(self, state: MockEnvState, action: jax.Array) -> MockEnvState:
-        key = jax.random.key(state.step_count + 1)
-        new_obs = jax.random.normal(key, (self.obs_size,))
-        new_step_count = state.step_count + 1
-        done = new_step_count >= self.max_steps
-        return MockEnvState(
-            obs=new_obs,
-            reward=jnp.array(1.0),
-            done=done,
-            step_count=new_step_count,
+    def step(self, state: State, action: jax.Array) -> State:
+        del action  # dynamics are purely schedule-driven
+        obs_key, carry_key = jax.random.split(state.data["key"])
+        ticks = state.data["ticks"] + 1
+        return State(
+            data={"key": carry_key, "ticks": ticks},
+            obs=self._fresh_obs(obs_key),
+            reward=jnp.ones(()),
+            done=ticks >= self.max_steps,
             info={},
             metrics={},
         )

@@ -38,4 +38,9 @@ class RewardScalingWrapper:
     def __getattr__(self, name: str) -> Any:
         # Delegate anything else (render, observation specs, ...) to the
         # wrapped env so wrappers stay transparent to the video pipeline.
+        if name == "env":
+            # Only reached when 'env' is not yet in __dict__ (e.g. during
+            # deepcopy/unpickle of an uninitialized instance) — must raise
+            # instead of recursing.
+            raise AttributeError(name)
         return getattr(self.env, name)

