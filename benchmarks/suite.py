@@ -133,6 +133,34 @@ def _heavy_physics_8192():
     return env, net, PPOConfig(n_envs=8192, rollout_length=20)
 
 
+def _quadruped_2048():
+    # Real contact-rich rigid-body physics (physics/ engine): 18-dof
+    # quadruped, 10 substeps × (CRBA 18×18 + RNEA + 8 contacts +
+    # Cholesky) per control step. The Go1JoystickFlatTerrain-class
+    # workload from BASELINE.md on the in-repo MJX-equivalent substrate.
+    from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+    env = EpisodeWrapper(QuadrupedJoystick(), max_len=500)
+    k = jax.random.split(jax.random.key(0), 7)
+    enc = Concat.create(
+        proprio=Dense.create(42, 128, k[0], jax.nn.relu),
+        command=Dense.create(3, 32, k[1], jax.nn.relu),
+    )
+    actor = Sequential.create([
+        Dense.create(160, 128, k[2], jax.nn.relu),
+        Dense.create(128, 24, k[3]),
+        NormalTanhSampler.create(k[4], entropy_weight=1e-3),
+    ])
+    critic = Parallel.create(
+        tracking=make_mlp([160, 128, 1], k[5], activation_last_layer=False),
+        penalty=make_mlp([160, 128, 1], k[6], activation_last_layer=False),
+    )
+    net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
+    return env, net, PPOConfig(
+        n_envs=2048, rollout_length=20, combine_advantages=True
+    )
+
+
 CONFIGS = {
     "cartpole_mlp": _mlp_cartpole,
     "cartpole_mlp_bf16": functools.partial(_mlp_cartpole, compute_dtype="bfloat16"),
@@ -140,6 +168,7 @@ CONFIGS = {
     "dict_obs_multistream": _dict_obs_multistream,
     "locomotion_4096": _locomotion_4096,
     "heavy_physics_8192": _heavy_physics_8192,
+    "quadruped_2048": _quadruped_2048,
 }
 
 

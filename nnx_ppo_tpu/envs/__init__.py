@@ -2,6 +2,7 @@ from nnx_ppo_tpu.envs.chain import NLinkSwingup
 from nnx_ppo_tpu.envs.classic import CartpoleBalance, CartpoleSwingup, Pendulum
 from nnx_ppo_tpu.envs.locomotion import JoystickLocomotion
 from nnx_ppo_tpu.envs.mjx import MJX_AVAILABLE, MJXCartpoleBalance, MJXEnv
+from nnx_ppo_tpu.envs.quadruped import QuadrupedJoystick
 from nnx_ppo_tpu.envs.types import State
 
 __all__ = [
@@ -10,6 +11,7 @@ __all__ = [
     "Pendulum",
     "JoystickLocomotion",
     "NLinkSwingup",
+    "QuadrupedJoystick",
     "MJXEnv",
     "MJXCartpoleBalance",
     "MJX_AVAILABLE",

@@ -1,0 +1,25 @@
+"""TPU-native articulated rigid-body physics (the in-repo substrate
+standing in for MJX — see ``physics/engine.py``)."""
+
+from nnx_ppo_tpu.physics.engine import (
+    bias_forces,
+    forward_dynamics,
+    fwd_kinematics,
+    integrate,
+    mass_matrix,
+    step,
+)
+from nnx_ppo_tpu.physics.model import FREE, HINGE, Model, ModelBuilder
+
+__all__ = [
+    "FREE",
+    "HINGE",
+    "Model",
+    "ModelBuilder",
+    "bias_forces",
+    "forward_dynamics",
+    "fwd_kinematics",
+    "integrate",
+    "mass_matrix",
+    "step",
+]

@@ -1,0 +1,285 @@
+"""Articulated rigid-body dynamics: CRBA + RNEA + penalty contacts.
+
+The TPU-native physics substrate standing in for MJX (the reference's
+external env backend, SURVEY §2.6). One env instance is a pure function
+of (static :class:`~nnx_ppo_tpu.physics.model.Model`, ``qpos``,
+``qvel``); the framework vmaps it to thousands of envs like every other
+env. Design for the hardware:
+
+* All body loops are unrolled at trace time (NB ≈ 13 for a quadruped) —
+  under ``vmap`` every 6×6/3×3 product becomes a ``[B, 6, 6]`` batched
+  op that XLA fuses and tiles; there are no gathers, no dynamic shapes,
+  no custom calls.
+* The joint-space equation ``M(q) q̈ = τ − C(q, q̇) + Jᵀf_contact`` is
+  solved with the unrolled small-SPD Cholesky from ``ops/linalg.py``
+  (same kernel the n-link chain env uses — measured ~3× over the
+  LAPACK-style custom call at these sizes).
+* Contacts are sphere-vs-ground penalty/compliant forces (spring-damper
+  normal + smooth-Coulomb friction) — no LCP, fully differentiable,
+  branch-free (`where` masks).
+
+Algorithms follow Featherstone, *Rigid Body Dynamics Algorithms*:
+RNEA (ch. 5) for bias forces with the gravity-as-base-acceleration
+trick, CRBA (ch. 6) for the joint-space inertia matrix.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.ops.linalg import cholesky_solve_small
+from nnx_ppo_tpu.physics.model import FREE, HINGE, Model
+from nnx_ppo_tpu.physics.spatial import (
+    crf,
+    crm,
+    motion_transform,
+    quat_integrate,
+    quat_to_rot,
+    skew,
+    spatial_inertia,
+)
+
+
+class Kinematics(NamedTuple):
+    """Per-body frame data (tuples of per-body arrays, trace-time lists)."""
+
+    X_up: tuple  # [6,6] motion transform parent→body, per body
+    E: tuple  # [3,3] world_R_body, per body
+    p: tuple  # [3] body origin in world, per body
+    S: tuple  # [6, nd] joint motion subspace, per body
+
+
+def _axis_rotation(axis: jax.Array, angle: jax.Array) -> jax.Array:
+    """Active rotation by ``angle`` about unit ``axis`` (Rodrigues)."""
+    K = skew(axis)
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+def _split_qpos(model: Model, qpos: jax.Array):
+    if model.free_base:
+        return qpos[0:3], qpos[3:7], qpos[7:]
+    return None, None, qpos
+
+
+def fwd_kinematics(model: Model, qpos: jax.Array):
+    # (returns Kinematics; annotation omitted — the suite's typeguard
+    # hook cannot evaluate local-NamedTuple forward refs on py3.12)
+    base_pos, base_quat, joint_q = _split_qpos(model, qpos)
+    X_up, E, p, S = [], [], [], []
+    jq_cursor = 0
+    for i, jtype in enumerate(model.joint_type):
+        parent = model.parent[i]
+        jpos = jnp.asarray(model.joint_pos[i], jnp.float32)
+        if jtype == FREE:
+            Ei = quat_to_rot(base_quat)
+            pi = base_pos
+            # Transform from world coords into the base body frame.
+            Xi = motion_transform(Ei.T, pi)
+            Si = jnp.eye(6)
+        else:
+            axis = jnp.asarray(model.joint_axis[i], jnp.float32)
+            q_i = joint_q[jq_cursor]
+            jq_cursor += 1
+            R_j = _axis_rotation(axis, q_i)  # parent_R_child
+            if parent < 0:
+                E_par, p_par = jnp.eye(3), jnp.zeros(3)
+            else:
+                E_par, p_par = E[parent], p[parent]
+            Ei = E_par @ R_j
+            pi = p_par + E_par @ jpos
+            Xi = motion_transform(R_j.T, jpos)
+            Si = jnp.concatenate([axis, jnp.zeros(3)])[:, None]
+        X_up.append(Xi)
+        E.append(Ei)
+        p.append(pi)
+        S.append(Si)
+    return Kinematics(tuple(X_up), tuple(E), tuple(p), tuple(S))
+
+
+def _body_inertias(model: Model) -> list[jax.Array]:
+    return [
+        spatial_inertia(
+            jnp.float32(model.mass[i]),
+            jnp.asarray(model.com[i], jnp.float32),
+            jnp.asarray(model.inertia[i], jnp.float32),
+        )
+        for i in range(model.n_bodies)
+    ]
+
+
+def body_velocities(model: Model, kin, qvel: jax.Array) -> list:
+    """Spatial velocity of every body in its own frame."""
+    v = []
+    for i, (start, nd) in enumerate(model.dof_slices()):
+        vj = kin.S[i] @ qvel[start : start + nd]
+        parent = model.parent[i]
+        v.append(vj if parent < 0 else kin.X_up[i] @ v[parent] + vj)
+    return v
+
+
+def bias_forces(model: Model, kin, qvel: jax.Array, v: list) -> jax.Array:
+    """RNEA with q̈=0: Coriolis + centrifugal + gravity + joint damping."""
+    NB = model.n_bodies
+    I = _body_inertias(model)
+    # Gravity trick: give the world an upward pseudo-acceleration.
+    a_world = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, -model.gravity], jnp.float32)
+    a, f = [], []
+    for i, (start, nd) in enumerate(model.dof_slices()):
+        vj = kin.S[i] @ qvel[start : start + nd]
+        a_par = a_world if model.parent[i] < 0 else a[model.parent[i]]
+        ai = kin.X_up[i] @ a_par + crm(v[i]) @ vj
+        a.append(ai)
+        f.append(I[i] @ ai + crf(v[i]) @ (I[i] @ v[i]))
+    C = jnp.zeros(model.nv)
+    for i in reversed(range(NB)):
+        start, nd = model.dof_slices()[i]
+        C = C.at[start : start + nd].set(kin.S[i].T @ f[i])
+        parent = model.parent[i]
+        if parent >= 0:
+            f[parent] = f[parent] + kin.X_up[i].T @ f[i]
+    return C + jnp.asarray(model.damping, jnp.float32) * qvel
+
+
+def mass_matrix(model: Model, kin) -> jax.Array:
+    """CRBA joint-space inertia + armature diagonal."""
+    NB = model.n_bodies
+    slices = model.dof_slices()
+    Ic = list(_body_inertias(model))
+    for i in reversed(range(NB)):
+        parent = model.parent[i]
+        if parent >= 0:
+            Ic[parent] = Ic[parent] + kin.X_up[i].T @ Ic[i] @ kin.X_up[i]
+    M = jnp.zeros((model.nv, model.nv))
+    for i in range(NB):
+        si, ni = slices[i]
+        F = Ic[i] @ kin.S[i]  # [6, ni]
+        M = M.at[si : si + ni, si : si + ni].set(kin.S[i].T @ F)
+        j = i
+        while model.parent[j] >= 0:
+            F = kin.X_up[j].T @ F
+            j = model.parent[j]
+            sj, nj_ = slices[j]
+            block = kin.S[j].T @ F  # [nj_, ni]
+            M = M.at[sj : sj + nj_, si : si + ni].set(block)
+            M = M.at[si : si + ni, sj : sj + nj_].set(block.T)
+    return M + jnp.diag(jnp.asarray(model.armature, jnp.float32))
+
+
+def contact_generalized_forces(
+    model: Model, kin, v: list
+) -> tuple[jax.Array, jax.Array]:
+    """Ground-plane penalty contacts → (generalized force [nv],
+    per-geom normal force [NG] for metrics/termination)."""
+    tau = jnp.zeros(model.nv)
+    slices = model.dof_slices()
+    normals = []
+    for g, b in enumerate(model.geom_body):
+        offset = jnp.asarray(model.geom_offset[g], jnp.float32)
+        radius = jnp.float32(model.geom_radius[g])
+        E_b, p_b = kin.E[b], kin.p[b]
+        x_w = p_b + E_b @ offset  # sphere center, world
+        phi = radius - x_w[2]  # penetration depth (>0 in contact)
+        w, vl = v[b][:3], v[b][3:]
+        v_pt = E_b @ (vl + jnp.cross(w, offset))  # point velocity, world
+        active = phi > 0.0
+        fn = jnp.where(
+            active,
+            jnp.maximum(
+                0.0,
+                model.contact_stiffness * phi
+                - model.contact_damping * v_pt[2],
+            ),
+            0.0,
+        )
+        vt = v_pt[:2]
+        vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
+        ft = -model.friction * fn * vt / jnp.maximum(vt_norm, 0.1)
+        f_w = jnp.concatenate([ft, fn[None]])
+        normals.append(fn)
+        # Spatial force at the body origin in body coords, propagated
+        # up the chain and projected on each joint subspace (the same
+        # backward pass RNEA uses — no explicit Jacobian needed).
+        f_b = E_b.T @ f_w
+        f_sp = jnp.concatenate([jnp.cross(offset, f_b), f_b])
+        j = b
+        while j >= 0:
+            sj, nj_ = slices[j]
+            tau = tau.at[sj : sj + nj_].add(kin.S[j].T @ f_sp)
+            f_sp = kin.X_up[j].T @ f_sp
+            j = model.parent[j]
+    if normals:
+        return tau, jnp.stack(normals)
+    return tau, jnp.zeros((0,))
+
+
+def forward_dynamics(
+    model: Model,
+    qpos: jax.Array,
+    qvel: jax.Array,
+    tau_applied: jax.Array,
+    dt: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """``(M + dt·D) q̈ = τ_applied + τ_contact − C`` (D = joint damping);
+    also returns per-geom normal forces.
+
+    Passing the integration ``dt`` makes the viscous joint-damping term
+    implicit (damping force evaluated at the *new* velocity — MuJoCo's
+    ``implicitfast`` discretization): stiff PD derivative gains can then
+    be expressed as model damping and stay unconditionally stable
+    instead of limiting the step size. ``dt=0`` is the plain continuous
+    dynamics (used by analytic-exactness tests)."""
+    kin = fwd_kinematics(model, qpos)
+    v = body_velocities(model, kin, qvel)
+    C = bias_forces(model, kin, qvel, v)
+    M = mass_matrix(model, kin)
+    if dt:
+        M = M + dt * jnp.diag(jnp.asarray(model.damping, jnp.float32))
+    tau_c, normals = contact_generalized_forces(model, kin, v)
+    qacc = cholesky_solve_small(M, tau_applied + tau_c - C)
+    return qacc, normals
+
+
+def integrate(
+    model: Model, qpos: jax.Array, qvel: jax.Array, qacc: jax.Array, dt: float
+) -> tuple[jax.Array, jax.Array]:
+    """Semi-implicit Euler: velocity first, then configuration (base
+    orientation via the quaternion exponential map)."""
+    qvel_new = qvel + dt * qacc
+    if model.free_base:
+        pos, quat, joint_q = _split_qpos(model, qpos)
+        E = quat_to_rot(quat)
+        omega, v_lin = qvel_new[0:3], qvel_new[3:6]
+        pos_new = pos + dt * (E @ v_lin)
+        quat_new = quat_integrate(quat, omega, dt)
+        joint_new = joint_q + dt * qvel_new[6:]
+        qpos_new = jnp.concatenate([pos_new, quat_new, joint_new])
+    else:
+        qpos_new = qpos + dt * qvel_new
+    return qpos_new, qvel_new
+
+
+def step(
+    model: Model,
+    qpos: jax.Array,
+    qvel: jax.Array,
+    tau_applied: jax.Array,
+    dt: float,
+    n_substeps: int = 1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Advance ``n_substeps`` physics steps of ``dt`` under constant
+    applied torque. Returns (qpos, qvel, last normal forces)."""
+
+    def substep(carry, _):
+        qp, qv = carry
+        qacc, normals = forward_dynamics(model, qp, qv, tau_applied, dt=dt)
+        qp, qv = integrate(model, qp, qv, qacc, dt)
+        return (qp, qv), normals
+
+    (qpos, qvel), normals = jax.lax.scan(
+        substep, (qpos, qvel), None, length=n_substeps
+    )
+    return qpos, qvel, normals[-1]

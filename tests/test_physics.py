@@ -1,0 +1,232 @@
+"""Rigid-body engine validation.
+
+The load-bearing gate is exactness against an independent analytic
+model: a serial hinge chain built in the engine must produce the same
+joint accelerations as the closed-form n-link pendulum equations used
+by ``envs/chain.py`` (two completely different derivations — spatial
+algebra CRBA/RNEA vs textbook Lagrangian — agreeing to float precision).
+Plus conservation laws, contact sanity, and the quadruped model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnx_ppo_tpu.envs.chain import NLinkSwingup
+from nnx_ppo_tpu.physics import ModelBuilder, forward_dynamics, step
+from nnx_ppo_tpu.physics.engine import fwd_kinematics, mass_matrix
+from nnx_ppo_tpu.physics.model import FREE, HINGE
+from nnx_ppo_tpu.physics.models import make_quadruped
+from nnx_ppo_tpu.physics.models.quadruped import default_qpos
+from nnx_ppo_tpu.physics.spatial import quat_to_rot
+
+
+def build_chain_model(n, lengths, masses, damping=0.0, gravity=-9.8):
+    """Serial pendulum in the x-z plane matching envs/chain.py: hinges
+    about +y, segments along +z (up at q=0), a point mass at the distal
+    end of each massless rod. Coordinate correspondence to the analytic
+    model is handled in the test (absolute vs relative angles)."""
+    b = ModelBuilder(gravity=gravity)
+    prev = None
+    for i in range(n):
+        b.add_body(
+            f"link{i}",
+            parent=prev,
+            joint=HINGE,
+            axis=(0.0, 1.0, 0.0),
+            pos=(0.0, 0.0, lengths[i - 1] if i > 0 else 0.0),
+            mass=masses[i],
+            com=(0.0, 0.0, lengths[i]),
+            inertia=(0.0, 0.0, 0.0),  # point mass at the rod end
+            damping=damping,
+        )
+        prev = f"link{i}"
+    return b.finalize()
+
+
+class TestChainExactness:
+    @pytest.mark.parametrize("n", [1, 3, 5])
+    def test_accelerations_match_analytic_pendulum(self, n):
+        lengths = np.linspace(0.2, 0.4, n)
+        masses = np.linspace(0.5, 1.5, n)
+        env = NLinkSwingup(
+            n_links=n, link_mass=1.0, dt=0.02, damping=0.0, gravity=9.8
+        )
+        # Overwrite env constants with the heterogeneous test values.
+        env.lengths = jnp.asarray(lengths, jnp.float32)
+        env.masses = jnp.asarray(masses, jnp.float32)
+        env._tail_mass = jnp.cumsum(env.masses[::-1])[::-1]
+
+        model = build_chain_model(n, lengths, masses, damping=0.0)
+
+        # The analytic model's coordinates are ABSOLUTE link angles θ
+        # (each from vertical); the engine's are RELATIVE joint angles
+        # q. θ = L q with L lower-triangular ones, θ̈ = L q̈, and
+        # generalized torques transform contravariantly: τ_q = Lᵀ τ_θ.
+        # (Damping is off: the two models damp different coordinates.)
+        L = np.tril(np.ones((n, n), np.float32))
+        key = jax.random.key(0)
+        for trial in range(3):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            theta = jax.random.uniform(k1, (n,), minval=-2.5, maxval=2.5)
+            theta_dot = jax.random.uniform(k2, (n,), minval=-3.0, maxval=3.0)
+            tau = jax.random.uniform(k3, (n,), minval=-2.0, maxval=2.0)
+
+            analytic = env._accel(theta, theta_dot, tau)
+
+            # Sign: with hinge axis +y and segments along +z, positive
+            # engine angle tilts toward +x; both systems are symmetric
+            # under a global sign flip, so map 1:1.
+            q = jnp.linalg.solve(L, theta)
+            qd = jnp.linalg.solve(L, theta_dot)
+            engine_tau = L.T @ tau
+            qacc, _ = forward_dynamics(model, q, qd, engine_tau)
+            np.testing.assert_allclose(
+                np.asarray(L @ qacc),
+                np.asarray(analytic),
+                rtol=2e-3,
+                atol=2e-3,
+            )
+
+    def test_energy_conservation_passive(self):
+        """Undamped, untorqued 3-link chain: total energy drift over a
+        short horizon is integrator-order small."""
+        n = 3
+        lengths = np.full(n, 0.3)
+        masses = np.full(n, 1.0)
+        model = build_chain_model(n, lengths, masses, damping=0.0)
+        q0 = jnp.array([0.6, -0.4, 0.2])
+        qd0 = jnp.zeros(n)
+
+        def energy(q, qd):
+            kin = fwd_kinematics(model, q)
+            M = mass_matrix(model, kin)
+            ke = 0.5 * qd @ M @ qd
+            pe = 0.0
+            # Point masses at the distal end of each link.
+            for i in range(n):
+                tip_local = jnp.array([0.0, 0.0, lengths[i]])
+                z = (kin.p[i] + kin.E[i] @ tip_local)[2]
+                pe += masses[i] * 9.81 * z
+            return ke + pe
+
+        h = 1e-4
+        qpos, qvel = q0, qd0
+        e0 = float(energy(qpos, qvel))
+
+        @jax.jit
+        def advance(qpos, qvel):
+            return step(model, qpos, qvel, jnp.zeros(n), h, n_substeps=500)
+
+        for _ in range(4):  # 0.2 s total
+            qpos, qvel, _ = advance(qpos, qvel)
+        e1 = float(energy(qpos, qvel))
+        assert abs(e1 - e0) < 2e-3 * max(1.0, abs(e0)), (e0, e1)
+
+
+class TestFreeBody:
+    def ball_model(self, gravity=0.0):
+        b = ModelBuilder(gravity=gravity)
+        b.add_body("ball", joint=FREE, mass=2.0, inertia=(0.08, 0.05, 0.03))
+        return b.finalize()
+
+    def test_momentum_conservation_no_gravity(self):
+        """Free rigid body, no gravity/contact: world-frame linear and
+        angular momentum are conserved under tumbling."""
+        model = self.ball_model(gravity=0.0)
+        qpos = jnp.array([0.0, 0.0, 5.0, 1.0, 0.0, 0.0, 0.0])
+        qvel = jnp.array([3.0, 1.0, -2.0, 0.5, -0.2, 0.8])  # ω, v (body)
+
+        def momenta(qpos, qvel):
+            E = quat_to_rot(qpos[3:7])
+            omega, v = qvel[0:3], qvel[3:6]
+            I = jnp.diag(jnp.array([0.08, 0.05, 0.03]))
+            lin = 2.0 * (E @ v)
+            ang = E @ (I @ omega)
+            return lin, ang
+
+        lin0, ang0 = momenta(qpos, qvel)
+        qpos, qvel, _ = jax.jit(
+            lambda qp, qv: step(model, qp, qv, jnp.zeros(6), 1e-3,
+                                n_substeps=400)
+        )(qpos, qvel)
+        lin1, ang1 = momenta(qpos, qvel)
+        # Semi-implicit Euler has O(dt) momentum drift in the rotating
+        # frame; 0.4 s of fast tumbling stays well under 1%.
+        np.testing.assert_allclose(lin1, lin0, rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(ang1, ang0, rtol=1e-2, atol=1e-2)
+
+    def test_projectile(self):
+        """Ballistic flight matches closed form."""
+        model = self.ball_model(gravity=-9.81)
+        qpos = jnp.array([0.0, 0.0, 5.0, 1.0, 0.0, 0.0, 0.0])
+        qvel = jnp.array([0.0, 0.0, 0.0, 1.0, 0.0, 2.0])
+        t = 0.5
+        qpos, qvel, _ = jax.jit(
+            lambda qp, qv: step(model, qp, qv, jnp.zeros(6), 1e-3,
+                                n_substeps=500)
+        )(qpos, qvel)
+        np.testing.assert_allclose(float(qpos[0]), 1.0 * t, atol=1e-3)
+        np.testing.assert_allclose(
+            float(qpos[2]), 5.0 + 2.0 * t - 0.5 * 9.81 * t**2, atol=5e-3
+        )
+
+    def test_ball_settles_on_ground(self):
+        """Dropped contact sphere comes to rest near zero penetration
+        force balance: fn ≈ m·g."""
+        b = ModelBuilder(gravity=-9.81)
+        b.add_body("ball", joint=FREE, mass=2.0, inertia=(0.01, 0.01, 0.01))
+        b.add_sphere_geom("ball", (0.0, 0.0, 0.0), 0.1)
+        model = b.finalize(contact_stiffness=5_000.0, contact_damping=150.0)
+        qpos = jnp.array([0.0, 0.0, 0.3, 1.0, 0.0, 0.0, 0.0])
+        qvel = jnp.zeros(6)
+        qpos, qvel, fn = jax.jit(
+            lambda qp, qv: step(model, qp, qv, jnp.zeros(6), 2e-3,
+                                n_substeps=1500)
+        )(qpos, qvel)
+        assert abs(float(qvel[5])) < 0.05  # settled
+        np.testing.assert_allclose(float(fn[0]), 2.0 * 9.81, rtol=0.1)
+        # Rests at radius minus static penetration fn/k.
+        expected_z = 0.1 - 2.0 * 9.81 / 5_000.0
+        np.testing.assert_allclose(float(qpos[2]), expected_z, atol=5e-3)
+
+
+class TestQuadruped:
+    def test_stands_under_pd_control(self):
+        """PD control toward the nominal pose keeps the trunk near
+        standing height with all four feet loaded."""
+        model = make_quadruped()
+        qpos = jnp.asarray(default_qpos(model))
+        qvel = jnp.zeros(model.nv)
+        target = qpos[7:]
+
+        @jax.jit
+        def control_step(qpos, qvel):
+            # Derivative gain lives in model.damping (implicit — see
+            # engine.forward_dynamics); only the P term is explicit.
+            tau_j = 60.0 * (target - qpos[7:])
+            tau = jnp.concatenate([jnp.zeros(6), tau_j])
+            return step(model, qpos, qvel, tau, 0.002, n_substeps=10)
+
+        for _ in range(100):  # 2 seconds
+            qpos, qvel, fn = control_step(qpos, qvel)
+        trunk_z = float(qpos[2])
+        assert 0.25 < trunk_z < 0.34, trunk_z
+        foot_forces = np.asarray(fn[:4])
+        assert (foot_forces > 5.0).all(), foot_forces
+        # Total vertical support ≈ weight.
+        total_mass = float(np.sum(model.mass))
+        np.testing.assert_allclose(
+            foot_forces.sum(), total_mass * 9.81, rtol=0.25
+        )
+
+    def test_falls_without_actuation(self):
+        model = make_quadruped()
+        qpos = jnp.asarray(default_qpos(model))
+        qvel = jnp.zeros(model.nv)
+        qpos, qvel, _ = jax.jit(
+            lambda qp, qv: step(model, qp, qv, jnp.zeros(model.nv), 0.002,
+                                n_substeps=500)
+        )(qpos, qvel)
+        assert float(qpos[2]) < 0.2  # collapsed
