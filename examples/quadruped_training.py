@@ -1,0 +1,136 @@
+"""Train the joystick quadruped (in-repo rigid-body physics) with PPO.
+
+The contact-rich flagship run: 18-dof quadruped, penalty contacts, dict
+obs/rewards, obs normalization, team-summed advantages. Writes the eval
+learning curve to ``benchmarks/results/quadruped_curve.csv``.
+
+    python examples/quadruped_training.py [--total-steps N] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "../.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from nnx_ppo_tpu.algorithms import EvalConfig, PPOConfig, TrainConfig, train_ppo
+from nnx_ppo_tpu.envs import QuadrupedJoystick
+from nnx_ppo_tpu.networks import (
+    Concat,
+    Dense,
+    NormalTanhSampler,
+    Normalizer,
+    Parallel,
+    PPOAdapter,
+    Sequential,
+    make_mlp,
+)
+from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+
+def make_net(key: jax.Array):
+    k = jax.random.split(key, 7)
+    obs_spec = QuadrupedJoystick.observation_size
+    enc = Concat.create(
+        proprio=Dense.create(obs_spec["proprio"], 256, k[0], jax.nn.swish),
+        command=Dense.create(obs_spec["command"], 32, k[1], jax.nn.swish),
+    )
+    actor = Sequential.create([
+        Dense.create(288, 128, k[2], jax.nn.swish),
+        Dense.create(128, 2 * QuadrupedJoystick.action_size, k[3]),
+        NormalTanhSampler.create(k[4], entropy_weight=2e-3, min_std=0.1),
+    ])
+    critic = Parallel.create(
+        tracking=make_mlp([288, 256, 1], k[5], jax.nn.swish,
+                          activation_last_layer=False),
+        penalty=make_mlp([288, 256, 1], k[6], jax.nn.swish,
+                         activation_last_layer=False),
+    )
+    return Sequential.create([
+        Normalizer.create(obs_spec),
+        enc,
+        PPOAdapter.create(action=actor, value=critic),
+    ])
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--total-steps", type=int, default=60_000_000)
+    parser.add_argument("--n-envs", type=int, default=2048)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "../benchmarks/results/quadruped_curve.csv"
+        ),
+    )
+    args = parser.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+
+    env = EpisodeWrapper(QuadrupedJoystick(), max_len=500)
+    net = make_net(jax.random.key(args.seed))
+    cfg = TrainConfig(
+        ppo=PPOConfig(
+            n_envs=args.n_envs,
+            rollout_length=20,
+            learning_rate=3e-4,
+            n_epochs=4,
+            n_minibatches=4,
+            gradient_clipping=1.0,
+            combine_advantages=True,
+            steps_per_call=5,
+        ),
+        eval=EvalConfig(
+            every_steps=max(args.total_steps // 30, 1),
+            n_envs=128,
+            max_episode_length=500,
+            logging_percentiles=None,
+        ),
+        seed=args.seed,
+    )
+
+    rows = []
+
+    t0 = time.perf_counter()
+    result = train_ppo(env, net, cfg, total_steps=args.total_steps)
+    wall = time.perf_counter() - t0
+
+    for entry in result.eval_history:
+        rows.append(
+            {
+                "step": entry["step"],
+                "tracking": round(float(entry["episode_reward/tracking/mean"]), 3),
+                "penalty": round(float(entry["episode_reward/penalty/mean"]), 3),
+                "lifespan": round(float(entry["lifespan_mean"]), 1),
+            }
+        )
+        print(rows[-1], flush=True)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["step", "tracking", "penalty",
+                                               "lifespan"])
+        writer.writeheader()
+        writer.writerows(rows)
+    sps = args.total_steps / wall
+    print(f"done: {args.total_steps} steps in {wall:.0f}s = {sps:,.0f} sps",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,11 +121,14 @@ def _split_leaves(tree: Any):
 
 def save_checkpoint(
     step_dir: str,
-    training_state: TrainingState,
+    training_state: Any,
     step: int,
     config: Optional[TrainConfig] = None,
 ) -> None:
-    """Write one checkpoint directory (state/ + metadata.pkl)."""
+    """Write one checkpoint directory (state/ + metadata.pkl).
+
+    ``training_state`` is typically a TrainingState but may be any
+    pytree (the format is generic named-leaf storage)."""
     import orbax.checkpoint as ocp
 
     os.makedirs(step_dir, exist_ok=True)
@@ -165,7 +168,7 @@ def make_checkpoint_fn(
     return checkpoint_fn
 
 
-def load_checkpoint(path: str, training_state: TrainingState) -> dict[str, Any]:
+def load_checkpoint(path: str, training_state: Any) -> dict[str, Any]:
     """Load a checkpoint saved by :func:`make_checkpoint_fn`.
 
     ``training_state`` is a structural template (e.g. from

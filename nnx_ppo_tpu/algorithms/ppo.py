@@ -253,26 +253,32 @@ def ppo_multi_step(
     optimizer: optax.GradientTransformation,
     n_steps: int,
     mesh: Optional[jax.sharding.Mesh] = None,
+    return_history: bool = False,
 ) -> tuple[TrainingState, dict[str, Any]]:
     """``n_steps`` PPO iterations fused into ONE XLA program.
 
     Host dispatch costs ~1 ms per program on remote/tunneled TPU
     runtimes; at sub-ms device step times that dominates. Scanning the
     train step amortizes it ``n_steps``× (the TPU-native analogue of the
-    reference's dispatch-ahead host loop). Returns the metrics of the
-    *last* iteration (device-side metric history would grow the output
-    payload; eval cadence owns curve logging)."""
+    reference's dispatch-ahead host loop).
+
+    ``return_history=True`` returns the full per-iteration metric stack
+    (every leaf ``[n_steps, ...]``) — a device-side metrics ring buffer
+    fetched once per call, so train-metric curve density is independent
+    of ``steps_per_call`` (one scalar per iteration per metric; the
+    payload is tiny next to the rollout buffers). Default returns only
+    the last iteration's metrics."""
 
     def body(ts, _):
         ts, metrics = ppo_step(env, ts, config, optimizer, mesh)
         return ts, metrics
 
-    # One scanned body (ppo_step is traced/compiled once); metric cost
-    # per iteration is negligible at the default logging level and the
-    # stacked history collapses to its last row below.
+    # One scanned body (ppo_step is traced/compiled once).
     training_state, metrics_seq = jax.lax.scan(
         body, training_state, None, length=n_steps
     )
+    if return_history:
+        return training_state, metrics_seq
     return training_state, jax.tree.map(lambda m: m[-1], metrics_seq)
 
 
@@ -500,6 +506,9 @@ def train_ppo(
         )
 
     if config.ppo.steps_per_call > 1:
+        # return_history: per-iteration metrics come back as [steps_per_
+        # call] stacks (device-side ring buffer) so the logged train
+        # curve keeps per-iteration density regardless of fusion depth.
         ppo_step_jit = jax.jit(
             functools.partial(
                 ppo_multi_step,
@@ -508,6 +517,7 @@ def train_ppo(
                 optimizer=optimizer,
                 n_steps=config.ppo.steps_per_call,
                 mesh=mesh,
+                return_history=log_fn is not None,
             ),
             donate_argnums=(0,),
         )
@@ -613,12 +623,27 @@ def train_ppo(
     steps_per_iter = (
         config.ppo.n_envs * config.ppo.rollout_length * config.ppo.steps_per_call
     )
+    steps_per_inner = config.ppo.n_envs * config.ppo.rollout_length
+    metrics_are_history = config.ppo.steps_per_call > 1 and log_fn is not None
     initial_steps = steps
     while steps < config.ppo.total_steps:
         t0 = time.perf_counter() if measure_throughput else None
+        prev_steps = steps
         training_state, metrics = ppo_step_jit(training_state)
         n_iterations += 1
         steps = initial_steps + n_iterations * steps_per_iter
+        if metrics_are_history:
+            # Device-side metric ring buffer: one host fetch per call,
+            # then log every fused sub-iteration at its own step count
+            # (the last row continues through the shared logging below).
+            history = metrics
+            spc = config.ppo.steps_per_call
+            rows = [
+                jax.tree.map(lambda m, i=i: m[i], history) for i in range(spc)
+            ]
+            metrics = rows[-1]
+            for i, row in enumerate(rows[:-1]):
+                log_fn(row, prev_steps + (i + 1) * steps_per_inner)
         if measure_throughput:
             jax.block_until_ready(metrics)
             elapsed = time.perf_counter() - t0

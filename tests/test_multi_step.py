@@ -5,6 +5,7 @@ import dataclasses
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from nnx_ppo_tpu.algorithms import (
@@ -79,6 +80,32 @@ class TestMultiStep:
         res = train_ppo(env, net, cfg)
         assert res.total_steps == 8 * 5 * 4
         assert res.total_iterations == 2  # 2 calls of 2 fused steps
+
+    def test_metric_density_independent_of_steps_per_call(self):
+        """With a log_fn, every fused sub-iteration is logged at its own
+        step count (device-side metric ring buffer) — steps_per_call no
+        longer trades metric cadence for dispatch amortization."""
+        env = EpisodeWrapper(CartpoleBalance(), max_len=20)
+        net = make_mlp_actor_critic(5, 1, [16], [16], jax.random.key(0))
+        logged: list[tuple[int, float]] = []
+
+        def log_fn(metrics, step):
+            if "losses/actor/mean" in metrics:
+                logged.append((step, float(metrics["losses/actor/mean"])))
+
+        cfg = TrainConfig(
+            ppo=PPOConfig(
+                n_envs=8,
+                rollout_length=5,
+                total_steps=8 * 5 * 8,  # 8 inner iterations
+                steps_per_call=4,
+            ),
+            eval=EvalConfig(enabled=False),
+        )
+        train_ppo(env, net, cfg, log_fn=log_fn)
+        steps_logged = [s for s, _ in logged]
+        assert steps_logged == [40, 80, 120, 160, 200, 240, 280, 320]
+        assert all(np.isfinite(v) for _, v in logged)
 
 
 class TestDistillationFused:
