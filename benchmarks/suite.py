@@ -161,6 +161,33 @@ def _quadruped_2048():
     )
 
 
+def _humanoid_2048():
+    # HumanoidWalk-class workload on the in-repo engine: 24-dof biped,
+    # 16x16 mass matrix, heel/toe contacts (BASELINE config 5 class,
+    # real articulated dynamics instead of the analytic chain).
+    from nnx_ppo_tpu.envs import HumanoidJoystick
+
+    env = EpisodeWrapper(HumanoidJoystick(), max_len=500)
+    k = jax.random.split(jax.random.key(0), 7)
+    enc = Concat.create(
+        proprio=Dense.create(36, 128, k[0], jax.nn.relu),
+        command=Dense.create(3, 32, k[1], jax.nn.relu),
+    )
+    actor = Sequential.create([
+        Dense.create(160, 128, k[2], jax.nn.relu),
+        Dense.create(128, 20, k[3]),
+        NormalTanhSampler.create(k[4], entropy_weight=1e-3),
+    ])
+    critic = Parallel.create(
+        tracking=make_mlp([160, 128, 1], k[5], activation_last_layer=False),
+        penalty=make_mlp([160, 128, 1], k[6], activation_last_layer=False),
+    )
+    net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
+    return env, net, PPOConfig(
+        n_envs=2048, rollout_length=20, combine_advantages=True
+    )
+
+
 CONFIGS = {
     "cartpole_mlp": _mlp_cartpole,
     "cartpole_mlp_bf16": functools.partial(_mlp_cartpole, compute_dtype="bfloat16"),
@@ -169,6 +196,7 @@ CONFIGS = {
     "locomotion_4096": _locomotion_4096,
     "heavy_physics_8192": _heavy_physics_8192,
     "quadruped_2048": _quadruped_2048,
+    "humanoid_2048": _humanoid_2048,
 }
 
 

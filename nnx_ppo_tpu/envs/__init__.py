@@ -2,6 +2,8 @@ from nnx_ppo_tpu.envs.chain import NLinkSwingup
 from nnx_ppo_tpu.envs.classic import CartpoleBalance, CartpoleSwingup, Pendulum
 from nnx_ppo_tpu.envs.locomotion import JoystickLocomotion
 from nnx_ppo_tpu.envs.mjx import MJX_AVAILABLE, MJXCartpoleBalance, MJXEnv
+from nnx_ppo_tpu.envs.humanoid import HumanoidJoystick
+from nnx_ppo_tpu.envs.legged import LeggedJoystick
 from nnx_ppo_tpu.envs.quadruped import QuadrupedJoystick
 from nnx_ppo_tpu.envs.types import State
 
@@ -12,6 +14,8 @@ __all__ = [
     "JoystickLocomotion",
     "NLinkSwingup",
     "QuadrupedJoystick",
+    "HumanoidJoystick",
+    "LeggedJoystick",
     "MJXEnv",
     "MJXCartpoleBalance",
     "MJX_AVAILABLE",

@@ -1,0 +1,198 @@
+"""Generic joystick-locomotion env over the in-repo rigid-body engine.
+
+One implementation serves every legged model (quadruped, humanoid, …):
+velocity-command tracking with dict obs, dict rewards (per-key GAE),
+per-substep PD position control (P explicit, D implicit via model joint
+damping — ``physics/engine.py::forward_dynamics``), command resampling
+from a per-env key in the carry, and tilt/height termination. The
+concrete robots are thin subclasses pinning the model + constants
+(``envs/quadruped.py``, ``envs/humanoid.py``).
+
+Contact-rich benchmark substrate standing in for the reference's
+external MJX workloads (``Go1JoystickFlatTerrain`` / ``HumanoidWalk``
+classes named in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.envs.types import State
+from nnx_ppo_tpu.physics.engine import forward_dynamics, integrate
+from nnx_ppo_tpu.physics.model import Model
+from nnx_ppo_tpu.physics.spatial import quat_to_rot
+
+
+class LeggedJoystick:
+    """Velocity-command tracking for a PD-actuated legged robot.
+
+    Observation (dict)::
+
+        {"proprio": [3n+6]  (trunk ω (3) ‖ gravity dir in trunk frame
+                             (3) ‖ joint pos − default (n) ‖ joint vel
+                             (n) ‖ previous action (n)),
+         "command": [3]     (vx*, vy*, ωz* in the trunk frame)}
+
+    Action: ``[n]`` joint-position targets around the default pose.
+    Reward: ``{"tracking": ..., "penalty": ...}`` dict (per-key GAE).
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        default_pose,
+        stand_height: float,
+        *,
+        kp: float,
+        action_scale: float,
+        control_dt: float = 0.02,
+        n_substeps: int = 10,
+        max_command: tuple[float, float, float] = (1.0, 0.5, 1.5),
+        command_resample_prob: float = 0.004,
+        tracking_sigma: float = 0.25,
+        min_up: float = 0.5,
+        min_height: float = 0.12,
+        reset_joint_noise: float = 0.1,
+    ):
+        self.model = model
+        self.default_pose = jnp.asarray(default_pose, jnp.float32)
+        self.stand_height = stand_height
+        self.n_act = int(self.default_pose.shape[0])
+        self.kp = kp
+        self.action_scale = action_scale
+        self.control_dt = control_dt
+        self.n_substeps = n_substeps
+        self.physics_dt = control_dt / n_substeps
+        self.max_command = jnp.asarray(max_command)
+        self.command_resample_prob = command_resample_prob
+        self.tracking_sigma = tracking_sigma
+        self.min_up = min_up
+        self.min_height = min_height
+        self.reset_joint_noise = reset_joint_noise
+        self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
+        self.action_size = self.n_act
+
+    # -- helpers ----------------------------------------------------------
+
+    def _sample_command(self, key: jax.Array) -> jax.Array:
+        return self.max_command * jax.random.uniform(
+            key, (3,), minval=-1.0, maxval=1.0
+        )
+
+    def _obs(self, q: dict) -> dict:
+        qpos, qvel = q["qpos"], q["qvel"]
+        E = quat_to_rot(qpos[3:7])  # world_R_trunk
+        gravity_dir = E.T @ jnp.array([0.0, 0.0, -1.0])
+        proprio = jnp.concatenate(
+            [
+                qvel[0:3],  # trunk angular velocity (body frame)
+                gravity_dir,
+                qpos[7:] - self.default_pose,
+                qvel[6:],
+                q["prev_action"],
+            ]
+        )
+        return {"proprio": proprio, "command": q["cmd"]}
+
+    def _reward(self, q: dict, action: jax.Array, prev_action: jax.Array):
+        qpos, qvel = q["qpos"], q["qvel"]
+        E = quat_to_rot(qpos[3:7])
+        # Body-frame planar/yaw velocity tracking (trunk stays
+        # near-level in successful gaits; standard formulation).
+        v_body = qvel[3:6]
+        w_body = qvel[0:3]
+        cmd = q["cmd"]
+        lin_err = jnp.sum(jnp.square(cmd[:2] - v_body[:2]))
+        ang_err = jnp.square(cmd[2] - w_body[2])
+        r_lin = jnp.exp(-lin_err / self.tracking_sigma)
+        r_ang = jnp.exp(-ang_err / self.tracking_sigma)
+        tracking = 0.7 * r_lin + 0.3 * r_ang
+
+        up_alignment = (E.T @ jnp.array([0.0, 0.0, 1.0]))[2]  # 1 = level
+        penalty = (
+            0.002 * jnp.sum(jnp.square(action))
+            + 0.01 * jnp.sum(jnp.square(action - prev_action))
+            + 0.05 * jnp.square(qpos[2] - self.stand_height)
+            + 0.02 * (1.0 - up_alignment)
+        )
+        return {"tracking": tracking, "penalty": -penalty}
+
+    def _done(self, q: dict) -> jax.Array:
+        qpos = q["qpos"]
+        E = quat_to_rot(qpos[3:7])
+        up = (E.T @ jnp.array([0.0, 0.0, 1.0]))[2]
+        fallen = jnp.logical_or(up < self.min_up, qpos[2] < self.min_height)
+        return fallen.astype(jnp.float32)
+
+    def _state(self, q: dict, action: jax.Array, prev_action: jax.Array) -> State:
+        return State(
+            data=q,
+            obs=self._obs(q),
+            reward=self._reward(q, action, prev_action),
+            done=self._done(q),
+            info={},
+            metrics={
+                "trunk_height": q["qpos"][2],
+                "speed": jnp.linalg.norm(q["qvel"][3:5]),
+            },
+        )
+
+    # -- protocol ---------------------------------------------------------
+
+    def reset(self, rng: jax.Array) -> State:
+        k_pose, k_vel, k_cmd, k_carry = jax.random.split(rng, 4)
+        joint_noise = self.reset_joint_noise * jax.random.normal(
+            k_pose, (self.n_act,)
+        )
+        qpos = jnp.concatenate(
+            [
+                jnp.array([0.0, 0.0, self.stand_height]),
+                jnp.array([1.0, 0.0, 0.0, 0.0]),
+                self.default_pose + joint_noise,
+            ]
+        )
+        qvel = 0.05 * jax.random.normal(k_vel, (self.model.nv,))
+        q = {
+            "qpos": qpos,
+            "qvel": qvel,
+            "cmd": self._sample_command(k_cmd),
+            "key": k_carry,
+            "prev_action": jnp.zeros(self.n_act),
+        }
+        zero = jnp.zeros(self.n_act)
+        return self._state(q, zero, zero)
+
+    def step(self, state: State, action: jax.Array) -> State:
+        q = state.data
+        action = jnp.clip(action, -1.0, 1.0)
+        target = self.default_pose + self.action_scale * action
+
+        def substep(carry, _):
+            qp, qv = carry
+            # PD recomputed every physics substep against the held
+            # target (P explicit; D implicit via model joint damping).
+            tau_j = self.kp * (target - qp[7:])
+            tau = jnp.concatenate([jnp.zeros(6), tau_j])
+            qacc, _ = forward_dynamics(
+                self.model, qp, qv, tau, dt=self.physics_dt
+            )
+            qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
+            return (qp, qv), None
+
+        (qpos, qvel), _ = jax.lax.scan(
+            substep, (q["qpos"], q["qvel"]), None, length=self.n_substeps
+        )
+        resample_key, cmd_key, carry_key = jax.random.split(q["key"], 3)
+        resample = jax.random.bernoulli(
+            resample_key, self.command_resample_prob
+        )
+        cmd = jnp.where(resample, self._sample_command(cmd_key), q["cmd"])
+        new_q = {
+            "qpos": qpos,
+            "qvel": qvel,
+            "cmd": cmd,
+            "key": carry_key,
+            "prev_action": action,
+        }
+        return self._state(new_q, action, q["prev_action"])

@@ -16,6 +16,9 @@ import jax
 import jax.numpy as jnp
 
 
+UNROLL_MAX_N = 10
+
+
 def cholesky_solve_small(M: jax.Array, rhs: jax.Array) -> jax.Array:
     """Solve ``M x = rhs`` for symmetric positive-definite ``M``.
 
@@ -25,8 +28,19 @@ def cholesky_solve_small(M: jax.Array, rhs: jax.Array) -> jax.Array:
 
     Returns:
       ``[..., n]`` solutions. All ops are elementwise over the batch.
+
+    For ``n <= UNROLL_MAX_N`` the factorization/solves are fully
+    unrolled (measured ~3× over the LAPACK-style custom-call path for
+    tiny per-env systems on TPU). Above that the unrolled graph's
+    O(n³) scalar expressions dominate XLA *compile* time (an 18-dof
+    quadruped inside a scanned substep pushed whole-program compiles
+    past 10 minutes), so larger systems use the compact native
+    ``cho_factor``/``cho_solve`` lowering instead.
     """
     n = M.shape[-1]
+    if n > UNROLL_MAX_N:
+        chol = jax.scipy.linalg.cholesky(M, lower=True)
+        return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
     if rhs.shape[-1] != n:
         raise ValueError(f"rhs last dim {rhs.shape[-1]} != n {n}")
     batch_shape = M.shape[:-2]

@@ -230,3 +230,43 @@ class TestQuadruped:
                                 n_substeps=500)
         )(qpos, qvel)
         assert float(qpos[2]) < 0.2  # collapsed
+
+
+class TestHumanoid:
+    def test_stands_briefly_under_pd(self):
+        """Joint-space PD holds the biped upright for 1 simulated second
+        (balance itself is actively unstable — the RL task); feet load
+        with the body weight."""
+        from nnx_ppo_tpu.physics.models import make_humanoid
+        from nnx_ppo_tpu.physics.models.humanoid import (
+            default_qpos as humanoid_qpos,
+        )
+
+        model = make_humanoid()
+        qpos = jnp.asarray(humanoid_qpos(model))
+        qvel = jnp.zeros(model.nv)
+        target = qpos[7:]
+
+        @jax.jit
+        def control_step(qpos, qvel):
+            tau_j = 350.0 * (target - qpos[7:])
+            tau = jnp.concatenate([jnp.zeros(6), tau_j])
+            return step(model, qpos, qvel, tau, 0.002, n_substeps=10)
+
+        for _ in range(50):  # 1 second
+            qpos, qvel, fn = control_step(qpos, qvel)
+        assert float(qpos[2]) > 0.7, float(qpos[2])
+        total_mass = float(np.sum(model.mass))
+        np.testing.assert_allclose(
+            float(fn[:4].sum()), total_mass * 9.81, rtol=0.3
+        )
+
+    def test_env_protocol_and_ppo(self):
+        from nnx_ppo_tpu.envs import HumanoidJoystick
+
+        env = HumanoidJoystick()
+        state = env.reset(jax.random.key(0))
+        assert state.obs["proprio"].shape == (36,)
+        assert float(state.done) == 0.0
+        nxt = jax.jit(env.step)(state, jnp.zeros(10))
+        assert jnp.isfinite(nxt.reward["tracking"])
