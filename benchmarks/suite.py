@@ -133,7 +133,7 @@ def _heavy_physics_8192():
     return env, net, PPOConfig(n_envs=8192, rollout_length=20)
 
 
-def _quadruped_2048():
+def _quadruped_2048(n_envs=2048):
     # Real contact-rich rigid-body physics (physics/ engine): 18-dof
     # quadruped, 10 substeps × (CRBA 18×18 + RNEA + 8 contacts +
     # Cholesky) per control step. The Go1JoystickFlatTerrain-class
@@ -157,11 +157,44 @@ def _quadruped_2048():
     )
     net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
     return env, net, PPOConfig(
-        n_envs=2048, rollout_length=20, combine_advantages=True
+        n_envs=n_envs, rollout_length=20, combine_advantages=True
     )
 
 
-def _humanoid_2048():
+def _population_graph():
+    # Recurrent population graph actor (round-1 measurement setup:
+    # sensor -> core(64, tanh) with a delay-1 self-loop -> motor).
+    # Round 1 recorded 2.4M sps with the exact per-step replay scan;
+    # this config now exercises the SCC-condensed fused replay
+    # (graph.py replay_sequence).
+    from nnx_ppo_tpu.networks import Flattener, Filter
+    from nnx_ppo_tpu.networks.graph import PopulationGraph
+
+    env = EpisodeWrapper(CartpoleBalance(), max_len=500)
+    b = PopulationGraph.builder(jax.random.key(3))
+    b.add_input("sensor", env.observation_size, input_from="obs")
+    b.add_population("core", 64, activation=jax.numpy.tanh)
+    b.add_output("motor", 2 * env.action_size)
+    b.connect("sensor", "core")
+    b.connect("core", "core", delay=1)
+    b.connect("core", "motor")
+    g = b.finalize()
+    k = jax.random.split(jax.random.key(4), 3)
+    actor = Sequential.create([
+        Filter.create({"obs": lambda x: x}),
+        g,
+        Filter.create({"motor": "motor"}),
+        Flattener.create(),
+        NormalTanhSampler.create(k[0], entropy_weight=1e-3),
+    ])
+    critic = make_mlp(
+        [env.observation_size, 256, 1], k[1], activation_last_layer=False
+    )
+    net = PPOAdapter.create(action=actor, value=critic)
+    return env, net, PPOConfig(n_envs=1024, rollout_length=30)
+
+
+def _humanoid_2048(n_envs=2048):
     # HumanoidWalk-class workload on the in-repo engine: 24-dof biped,
     # 16x16 mass matrix, heel/toe contacts (BASELINE config 5 class,
     # real articulated dynamics instead of the analytic chain).
@@ -184,7 +217,7 @@ def _humanoid_2048():
     )
     net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
     return env, net, PPOConfig(
-        n_envs=2048, rollout_length=20, combine_advantages=True
+        n_envs=n_envs, rollout_length=20, combine_advantages=True
     )
 
 
@@ -196,7 +229,9 @@ CONFIGS = {
     "locomotion_4096": _locomotion_4096,
     "heavy_physics_8192": _heavy_physics_8192,
     "quadruped_2048": _quadruped_2048,
+    "quadruped_8192": functools.partial(_quadruped_2048, n_envs=8192),
     "humanoid_2048": _humanoid_2048,
+    "population_graph": _population_graph,
 }
 
 

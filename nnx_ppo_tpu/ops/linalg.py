@@ -29,18 +29,21 @@ def cholesky_solve_small(M: jax.Array, rhs: jax.Array) -> jax.Array:
     Returns:
       ``[..., n]`` solutions. All ops are elementwise over the batch.
 
-    For ``n <= UNROLL_MAX_N`` the factorization/solves are fully
-    unrolled (measured ~3× over the LAPACK-style custom-call path for
-    tiny per-env systems on TPU). Above that the unrolled graph's
-    O(n³) scalar expressions dominate XLA *compile* time (an 18-dof
-    quadruped inside a scanned substep pushed whole-program compiles
-    past 10 minutes), so larger systems use the compact native
-    ``cho_factor``/``cho_solve`` lowering instead.
+    Three regimes by (static) n:
+
+    * ``n <= UNROLL_MAX_N``: fully unrolled scalar expressions
+      (measured ~3× over the LAPACK-style custom-call path for tiny
+      per-env systems on TPU).
+    * larger ``n``: :func:`cholesky_solve_blocked` — n unrolled steps
+      of *vectorized* rank-1 updates. The full unroll's O(n³) scalar
+      graph made whole-program XLA compiles of an 18-dof quadruped
+      exceed 10 minutes, and the native batched ``cholesky`` custom
+      call is far slower at runtime on TPU for tiny matrices; the
+      blocked form is O(n²) graph AND pure fused VPU ops.
     """
     n = M.shape[-1]
     if n > UNROLL_MAX_N:
-        chol = jax.scipy.linalg.cholesky(M, lower=True)
-        return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+        return cholesky_solve_blocked(M, rhs)
     if rhs.shape[-1] != n:
         raise ValueError(f"rhs last dim {rhs.shape[-1]} != n {n}")
     batch_shape = M.shape[:-2]
@@ -70,3 +73,42 @@ def cholesky_solve_small(M: jax.Array, rhs: jax.Array) -> jax.Array:
             y[i] - sum((L[k][i] * x[k] for k in range(i + 1, n)), zero)
         ) / L[i][i]
     return jnp.stack(x, axis=-1)
+
+
+def cholesky_solve_blocked(M: jax.Array, rhs: jax.Array) -> jax.Array:
+    """SPD solve via right-looking Cholesky with vectorized rank-1
+    updates: ``n`` unrolled steps, each O(n) / O(n²) *vector* ops over
+    the batch — an O(n²)-sized expression graph (compile-friendly) that
+    still lowers entirely to fused elementwise VPU code (no tiny-matrix
+    custom calls). The mid-size workhorse behind
+    :func:`cholesky_solve_small`; exact same semantics.
+    """
+    n = M.shape[-1]
+    if rhs.shape[-1] != n:
+        raise ValueError(f"rhs last dim {rhs.shape[-1]} != n {n}")
+    idx = jnp.arange(n)
+
+    L = jnp.zeros_like(M)
+    A = M
+    for j in range(n):
+        d = jnp.sqrt(A[..., j, j])
+        col = A[..., :, j] / d[..., None]
+        # Zero above the diagonal so the trailing-submatrix update and
+        # the stored column are restricted to rows >= j.
+        col = jnp.where(idx >= j, col, 0.0)
+        L = L.at[..., :, j].set(col)
+        A = A - col[..., :, None] * col[..., None, :]
+
+    # Forward substitution L y = rhs (rows above i already solved;
+    # zeros elsewhere make the full-row dot exact).
+    y = jnp.zeros_like(rhs)
+    for i in range(n):
+        yi = (rhs[..., i] - jnp.sum(L[..., i, :] * y, axis=-1)) / L[..., i, i]
+        y = y.at[..., i].set(yi)
+
+    # Back substitution Lᵀ x = y.
+    x = jnp.zeros_like(rhs)
+    for i in reversed(range(n)):
+        xi = (y[..., i] - jnp.sum(L[..., :, i] * x, axis=-1)) / L[..., i, i]
+        x = x.at[..., i].set(xi)
+    return x

@@ -162,7 +162,8 @@ class TestShardedParity:
             ppo=PPOConfig(n_envs=256, rollout_length=20, n_epochs=4,
                           n_minibatches=4),
             eval=EvalConfig(every_steps=500_000, n_envs=64,
-                            max_episode_length=100),
+                            max_episode_length=100,
+                            logging_percentiles=None),
             seed=3,
         )
         result = train_ppo(env, net, cfg, total_steps=1_500_000, mesh=mesh)
