@@ -138,6 +138,71 @@ class LeggedJoystick:
             },
         )
 
+    # -- rendering --------------------------------------------------------
+
+    def render(self, trajectory, height: int = 240, width: int = 320):
+        """Rasterize a trajectory of (Slim)States into HWC uint8 frames
+        (side view, camera tracking the trunk) — completes the video
+        pipeline (``eval_rollout_for_render_scan`` →
+        ``unstack_trajectory`` → ``env.render`` → ``video_fn``) for the
+        physics envs without any graphics dependency. Kinematics are
+        recomputed per frame from the stored ``qpos``."""
+        import numpy as np
+
+        from nnx_ppo_tpu.physics.engine import fwd_kinematics
+
+        model = self.model
+        frames = []
+        scale = height / 1.6  # ~1.6 m vertical field of view
+        ground_y = int(height * 0.92)
+
+        def draw_line(frame, a, b, color):
+            n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1]), 1)) + 1
+            for t in np.linspace(0.0, 1.0, 2 * n):
+                px = int(a[0] + t * (b[0] - a[0]))
+                py = int(a[1] + t * (b[1] - a[1]))
+                if 0 <= px < width - 1 and 0 <= py < height - 1:
+                    frame[py : py + 2, px : px + 2, :] = color
+
+        for slim in trajectory:
+            qpos = jnp.asarray(
+                np.asarray(jax.device_get(slim.data["qpos"]), np.float32)
+            )
+            kin = fwd_kinematics(model, qpos)
+            ps = [np.asarray(jax.device_get(p)) for p in kin.p]
+            Es = [np.asarray(jax.device_get(E)) for E in kin.E]
+            cam_x = ps[0][0]
+
+            def to_px(x, z):
+                return (
+                    int(width / 2 + (x - cam_x) * scale),
+                    int(ground_y - z * scale),
+                )
+
+            frame = np.full((height, width, 3), 255, np.uint8)
+            frame[ground_y : ground_y + 2, :, :] = 110
+            for i in range(1, model.n_bodies):
+                a = ps[model.parent[i]]
+                b = ps[i]
+                draw_line(frame, to_px(a[0], a[2]), to_px(b[0], b[2]),
+                          (60, 60, 60))
+            for g, bidx in enumerate(model.geom_body):
+                x = ps[bidx] + Es[bidx] @ np.asarray(
+                    model.geom_offset[g], np.float32
+                )
+                px, py = to_px(x[0], x[2])
+                r = max(int(model.geom_radius[g] * scale), 2)
+                y0, y1 = max(py - r, 0), min(py + r, height)
+                x0, x1 = max(px - r, 0), min(px + r, width)
+                if y0 < y1 and x0 < x1:
+                    frame[y0:y1, x0:x1, :] = (200, 80, 40)
+            # Trunk marker.
+            px, py = to_px(ps[0][0], ps[0][2])
+            if 0 <= px < width - 4 and 0 <= py < height - 4:
+                frame[py : py + 4, px : px + 4, :] = (40, 40, 200)
+            frames.append(frame)
+        return frames
+
     # -- protocol ---------------------------------------------------------
 
     def reset(self, rng: jax.Array) -> State:

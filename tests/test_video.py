@@ -43,3 +43,34 @@ def test_wrappers_delegate_render():
     )
     assert hasattr(env, "render")
     assert env.observation_size == 5
+
+
+def test_quadruped_video_pipeline():
+    """The physics envs complete the render path: render-rollout scan →
+    unstack → LeggedJoystick.render → frames."""
+    import numpy as np
+
+    from nnx_ppo_tpu.algorithms import rollout
+    from nnx_ppo_tpu.envs import QuadrupedJoystick
+    from nnx_ppo_tpu.networks import make_mlp_actor_critic
+    from nnx_ppo_tpu.networks.utils import Flattener
+    from nnx_ppo_tpu.networks import Sequential
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    env = EpisodeWrapper(QuadrupedJoystick(), 100)
+    net = Sequential.create([
+        Flattener.create(),
+        make_mlp_actor_critic(45, 12, [16], [16], jax.random.key(0),
+                              normalize_obs=False),
+    ])
+    T = 5
+    stacked, final, reward = jax.jit(
+        lambda key: rollout.eval_rollout_for_render_scan(env, net, T, key)
+    )(jax.random.key(1))
+    trajectory = rollout.unstack_trajectory(stacked, final, T)
+    frames = env.render(trajectory, height=80, width=120)
+    assert len(frames) == T + 1
+    assert frames[0].shape == (80, 120, 3)
+    assert frames[0].dtype == np.uint8
+    # Robot pixels present (not a blank frame).
+    assert (frames[0] != 255).any()
