@@ -271,7 +271,7 @@ def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
     sps = (s1 - s0) / elapsed
     actor_loss = float(metrics["losses/actor/mean"])
     assert jnp.isfinite(actor_loss)
-    return {
+    result = {
         "config": name,
         "train_sps": round(sps),
         "n_envs": config.n_envs,
@@ -280,6 +280,12 @@ def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
         "warmup_s": round(compile_s, 1),
         "device": jax.devices()[0].device_kind,
     }
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if stats and "peak_bytes_in_use" in stats:
+        result["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+        if "bytes_limit" in stats:
+            result["hbm_limit_gb"] = round(stats["bytes_limit"] / 2**30, 2)
+    return result
 
 
 def main() -> None:

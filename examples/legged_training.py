@@ -1,10 +1,12 @@
-"""Train the joystick quadruped (in-repo rigid-body physics) with PPO.
+"""Train a legged robot (in-repo rigid-body physics) with PPO.
 
-The contact-rich flagship run: 18-dof quadruped, penalty contacts, dict
-obs/rewards, obs normalization, team-summed advantages. Writes the eval
-learning curve to ``benchmarks/results/quadruped_curve.csv``.
+The contact-rich flagship run: quadruped (default) or humanoid,
+penalty contacts, dict obs/rewards, obs normalization, team-summed
+advantages. Writes the eval learning curve to
+``benchmarks/results/{env}_curve.csv``.
 
-    python examples/quadruped_training.py [--total-steps N] [--cpu]
+    python examples/legged_training.py [--env humanoid]
+        [--total-steps N] [--cpu]
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from nnx_ppo_tpu.algorithms import EvalConfig, PPOConfig, TrainConfig, train_ppo
-from nnx_ppo_tpu.envs import QuadrupedJoystick
+from nnx_ppo_tpu.envs import HumanoidJoystick, QuadrupedJoystick
 from nnx_ppo_tpu.networks import (
     Concat,
     Dense,
@@ -40,16 +42,16 @@ from nnx_ppo_tpu.networks import (
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
 
-def make_net(key: jax.Array):
+def make_net(env_cls, key: jax.Array):
     k = jax.random.split(key, 7)
-    obs_spec = QuadrupedJoystick.observation_size
+    obs_spec = env_cls.observation_size
     enc = Concat.create(
         proprio=Dense.create(obs_spec["proprio"], 256, k[0], jax.nn.swish),
         command=Dense.create(obs_spec["command"], 32, k[1], jax.nn.swish),
     )
     actor = Sequential.create([
         Dense.create(288, 128, k[2], jax.nn.swish),
-        Dense.create(128, 2 * QuadrupedJoystick.action_size, k[3]),
+        Dense.create(128, 2 * env_cls.action_size, k[3]),
         NormalTanhSampler.create(k[4], entropy_weight=2e-3, min_std=0.1),
     ])
     critic = Parallel.create(
@@ -67,23 +69,26 @@ def make_net(key: jax.Array):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--env", choices=["quadruped", "humanoid"],
+                        default="quadruped")
     parser.add_argument("--total-steps", type=int, default=60_000_000)
     parser.add_argument("--n-envs", type=int, default=2048)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
-    parser.add_argument(
-        "--out",
-        default=os.path.join(
-            os.path.dirname(__file__), "../benchmarks/results/quadruped_curve.csv"
-        ),
-    )
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
 
-    env = EpisodeWrapper(QuadrupedJoystick(), max_len=500)
-    net = make_net(jax.random.key(args.seed))
+    env_cls = QuadrupedJoystick if args.env == "quadruped" else HumanoidJoystick
+    if args.out is None:
+        args.out = os.path.join(
+            os.path.dirname(__file__),
+            f"../benchmarks/results/{args.env}_curve.csv",
+        )
+    env = EpisodeWrapper(env_cls(), max_len=500)
+    net = make_net(env_cls, jax.random.key(args.seed))
     cfg = TrainConfig(
         ppo=PPOConfig(
             n_envs=args.n_envs,
