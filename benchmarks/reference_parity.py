@@ -152,6 +152,8 @@ def main() -> None:
                         help="run 3 seeds x 2 impls as subprocesses")
     parser.add_argument("--seeds", type=int, nargs="+", default=[22, 23, 24])
     args = parser.parse_args()
+    if not args.all and args.impl is None:
+        parser.error("--impl is required unless --all is given")
 
     if args.all:
         for impl in ("tpu", "reference"):

@@ -133,22 +133,27 @@ def _heavy_physics_8192():
     return env, net, PPOConfig(n_envs=8192, rollout_length=20)
 
 
-def _quadruped_2048(n_envs=2048):
-    # Real contact-rich rigid-body physics (physics/ engine): 18-dof
-    # quadruped, 10 substeps × (CRBA 18×18 + RNEA + 8 contacts +
-    # Cholesky) per control step. The Go1JoystickFlatTerrain-class
-    # workload from BASELINE.md on the in-repo MJX-equivalent substrate.
-    from nnx_ppo_tpu.envs import QuadrupedJoystick
+def _legged_physics(env_name, n_envs=2048):
+    # Real contact-rich rigid-body physics (physics/ engine) through the
+    # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
+    # workload classes from BASELINE.md on the in-repo MJX-equivalent
+    # substrate: per control step, 10 substeps x (CRBA [nv,nv] + RNEA +
+    # sphere contacts + blocked Cholesky).
+    from nnx_ppo_tpu.envs import HumanoidJoystick, QuadrupedJoystick
 
-    env = EpisodeWrapper(QuadrupedJoystick(), max_len=500)
+    env_cls = {"quadruped": QuadrupedJoystick,
+               "humanoid": HumanoidJoystick}[env_name]
+    env = EpisodeWrapper(env_cls(), max_len=500)
+    proprio = env_cls.observation_size["proprio"]
+    n_act = env_cls.action_size
     k = jax.random.split(jax.random.key(0), 7)
     enc = Concat.create(
-        proprio=Dense.create(42, 128, k[0], jax.nn.relu),
+        proprio=Dense.create(proprio, 128, k[0], jax.nn.relu),
         command=Dense.create(3, 32, k[1], jax.nn.relu),
     )
     actor = Sequential.create([
         Dense.create(160, 128, k[2], jax.nn.relu),
-        Dense.create(128, 24, k[3]),
+        Dense.create(128, 2 * n_act, k[3]),
         NormalTanhSampler.create(k[4], entropy_weight=1e-3),
     ])
     critic = Parallel.create(
@@ -194,31 +199,6 @@ def _population_graph():
     return env, net, PPOConfig(n_envs=1024, rollout_length=30)
 
 
-def _humanoid_2048(n_envs=2048):
-    # HumanoidWalk-class workload on the in-repo engine: 24-dof biped,
-    # 16x16 mass matrix, heel/toe contacts (BASELINE config 5 class,
-    # real articulated dynamics instead of the analytic chain).
-    from nnx_ppo_tpu.envs import HumanoidJoystick
-
-    env = EpisodeWrapper(HumanoidJoystick(), max_len=500)
-    k = jax.random.split(jax.random.key(0), 7)
-    enc = Concat.create(
-        proprio=Dense.create(36, 128, k[0], jax.nn.relu),
-        command=Dense.create(3, 32, k[1], jax.nn.relu),
-    )
-    actor = Sequential.create([
-        Dense.create(160, 128, k[2], jax.nn.relu),
-        Dense.create(128, 20, k[3]),
-        NormalTanhSampler.create(k[4], entropy_weight=1e-3),
-    ])
-    critic = Parallel.create(
-        tracking=make_mlp([160, 128, 1], k[5], activation_last_layer=False),
-        penalty=make_mlp([160, 128, 1], k[6], activation_last_layer=False),
-    )
-    net = Sequential.create([enc, PPOAdapter.create(action=actor, value=critic)])
-    return env, net, PPOConfig(
-        n_envs=n_envs, rollout_length=20, combine_advantages=True
-    )
 
 
 CONFIGS = {
@@ -228,9 +208,10 @@ CONFIGS = {
     "dict_obs_multistream": _dict_obs_multistream,
     "locomotion_4096": _locomotion_4096,
     "heavy_physics_8192": _heavy_physics_8192,
-    "quadruped_2048": _quadruped_2048,
-    "quadruped_8192": functools.partial(_quadruped_2048, n_envs=8192),
-    "humanoid_2048": _humanoid_2048,
+    "quadruped_2048": functools.partial(_legged_physics, "quadruped"),
+    "quadruped_8192": functools.partial(_legged_physics, "quadruped",
+                                        n_envs=8192),
+    "humanoid_2048": functools.partial(_legged_physics, "humanoid"),
     "population_graph": _population_graph,
 }
 

@@ -1,6 +1,6 @@
 """Joystick-commanded humanoid walking on the in-repo rigid-body
 engine — the ``HumanoidWalk``-class workload from BASELINE.md with real
-articulated dynamics (24-dof biped, heel/toe contacts) instead of the
+articulated dynamics (16-dof biped: free base + 10 actuated hinges, heel/toe contacts) instead of the
 analytic stand-ins. See :class:`nnx_ppo_tpu.envs.legged.LeggedJoystick`
 for the obs/action/reward contract.
 

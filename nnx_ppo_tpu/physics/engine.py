@@ -184,7 +184,16 @@ def contact_generalized_forces(
         x_w = p_b + E_b @ offset  # sphere center, world
         phi = radius - x_w[2]  # penetration depth (>0 in contact)
         w, vl = v[b][:3], v[b][3:]
-        v_pt = E_b @ (vl + jnp.cross(w, offset))  # point velocity, world
+        # Velocity of (and lever arm to) the CONTACT POINT — the
+        # sphere's lowest point, one radius below the center in world-z
+        # — not the center: a sphere rolling without slipping then has
+        # zero tangential velocity (no spurious kinetic friction), and
+        # the friction force exerts its radius-length torque about the
+        # body.
+        contact_offset = offset + E_b.T @ jnp.array(
+            [0.0, 0.0, -1.0], jnp.float32
+        ) * radius
+        v_pt = E_b @ (vl + jnp.cross(w, contact_offset))  # world
         active = phi > 0.0
         fn = jnp.where(
             active,
@@ -204,7 +213,7 @@ def contact_generalized_forces(
         # up the chain and projected on each joint subspace (the same
         # backward pass RNEA uses — no explicit Jacobian needed).
         f_b = E_b.T @ f_w
-        f_sp = jnp.concatenate([jnp.cross(offset, f_b), f_b])
+        f_sp = jnp.concatenate([jnp.cross(contact_offset, f_b), f_b])
         j = b
         while j >= 0:
             sj, nj_ = slices[j]

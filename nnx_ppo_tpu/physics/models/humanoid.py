@@ -1,6 +1,6 @@
 """Planar-sagittal-dominant humanoid walker: free trunk + 2 legs ×
 (hip roll, hip pitch, knee, ankle) + 2 shoulder-pitch arms = 10 hinge
-joints, 24-dof system, heel+toe foot contacts.
+joints = 16 dofs (6 free-base + 10 actuated), heel+toe foot contacts.
 
 The HumanoidWalk-class workload from BASELINE.md on the in-repo engine:
 bigger mass matrix (16×16 … here nv=16) and more contact points than

@@ -46,8 +46,13 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # verified at call time for the whole suite. Disable with
 # NNX_PPO_TPU_TYPECHECK=0 (e.g. when profiling test wall-time).
 if os.environ.get("NNX_PPO_TPU_TYPECHECK", "1") != "0":
-    from jaxtyping import install_import_hook
+    try:
+        import typeguard  # noqa: F401  (declared in the dev extra)
+    except ImportError:
+        typeguard = None
+    if typeguard is not None:
+        from jaxtyping import install_import_hook
 
-    # Deliberately not used as a context manager: the hook must stay
-    # active for the whole test session.
-    install_import_hook("nnx_ppo_tpu", "typeguard.typechecked")
+        # Deliberately not used as a context manager: the hook must
+        # stay active for the whole test session.
+        install_import_hook("nnx_ppo_tpu", "typeguard.typechecked")

@@ -42,6 +42,9 @@ def test_wrong_shape_passes_without_hook():
     a production overhead."""
     code = textwrap.dedent(
         """
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # env var alone is
+        # not enough where site hooks force a tunneled-TPU platform
         import jax.numpy as jnp
         from nnx_ppo_tpu.ops.gae import gae_scan
         T, B = 4, 3
