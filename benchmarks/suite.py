@@ -133,7 +133,7 @@ def _heavy_physics_8192():
     return env, net, PPOConfig(n_envs=8192, rollout_length=20)
 
 
-def _legged_physics(env_name, n_envs=2048):
+def _legged_physics(env_name, n_envs=2048, reuse_mass_matrix=False):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
     # workload classes from BASELINE.md on the in-repo MJX-equivalent
@@ -143,7 +143,9 @@ def _legged_physics(env_name, n_envs=2048):
 
     env_cls = {"quadruped": QuadrupedJoystick,
                "humanoid": HumanoidJoystick}[env_name]
-    env = EpisodeWrapper(env_cls(), max_len=500)
+    env = EpisodeWrapper(
+        env_cls(reuse_mass_matrix=reuse_mass_matrix), max_len=500
+    )
     proprio = env_cls.observation_size["proprio"]
     n_act = env_cls.action_size
     k = jax.random.split(jax.random.key(0), 7)
@@ -212,6 +214,9 @@ CONFIGS = {
     "quadruped_8192": functools.partial(_legged_physics, "quadruped",
                                         n_envs=8192),
     "humanoid_2048": functools.partial(_legged_physics, "humanoid"),
+    "quadruped_2048_fastM": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True
+    ),
     "population_graph": _population_graph,
 }
 

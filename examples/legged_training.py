@@ -75,6 +75,10 @@ def main() -> None:
     parser.add_argument("--n-envs", type=int, default=2048)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--fast-mass-matrix", action="store_true",
+                        help="hold the Cholesky factor of M over each "
+                             "control step (~1.6x faster, tiny "
+                             "integration approximation)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -87,7 +91,9 @@ def main() -> None:
             os.path.dirname(__file__),
             f"../benchmarks/results/{args.env}_curve.csv",
         )
-    env = EpisodeWrapper(env_cls(), max_len=500)
+    env = EpisodeWrapper(
+        env_cls(reuse_mass_matrix=args.fast_mass_matrix), max_len=500
+    )
     net = make_net(env_cls, jax.random.key(args.seed))
     cfg = TrainConfig(
         ppo=PPOConfig(

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from nnx_ppo_tpu.envs.types import State
-from nnx_ppo_tpu.physics.engine import forward_dynamics, integrate
+from nnx_ppo_tpu.physics.engine import (
+    forward_dynamics,
+    integrate,
+    mass_matrix_factor,
+)
 from nnx_ppo_tpu.physics.model import Model
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
 
@@ -54,6 +58,7 @@ class LeggedJoystick:
         min_up: float = 0.5,
         min_height: float = 0.12,
         reset_joint_noise: float = 0.1,
+        reuse_mass_matrix: bool = False,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -70,6 +75,12 @@ class LeggedJoystick:
         self.min_up = min_up
         self.min_height = min_height
         self.reset_joint_noise = reset_joint_noise
+        # Factor M(q) once per control step instead of every physics
+        # substep (joint angles move <~0.05 rad in 20 ms, so M barely
+        # changes): skips the dominant CRBA + Cholesky work per substep
+        # at the cost of a small integration approximation. Default off
+        # (exact dynamics).
+        self.reuse_mass_matrix = reuse_mass_matrix
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         self.action_size = self.n_act
 
@@ -233,6 +244,12 @@ class LeggedJoystick:
         action = jnp.clip(action, -1.0, 1.0)
         target = self.default_pose + self.action_scale * action
 
+        chol = (
+            mass_matrix_factor(self.model, q["qpos"], dt=self.physics_dt)
+            if self.reuse_mass_matrix
+            else None
+        )
+
         def substep(carry, _):
             qp, qv = carry
             # PD recomputed every physics substep against the held
@@ -240,7 +257,7 @@ class LeggedJoystick:
             tau_j = self.kp * (target - qp[7:])
             tau = jnp.concatenate([jnp.zeros(6), tau_j])
             qacc, _ = forward_dynamics(
-                self.model, qp, qv, tau, dt=self.physics_dt
+                self.model, qp, qv, tau, dt=self.physics_dt, chol=chol
             )
             qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
             return (qp, qv), None

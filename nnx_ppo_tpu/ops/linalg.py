@@ -75,19 +75,13 @@ def cholesky_solve_small(M: jax.Array, rhs: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
-def cholesky_solve_blocked(M: jax.Array, rhs: jax.Array) -> jax.Array:
-    """SPD solve via right-looking Cholesky with vectorized rank-1
-    updates: ``n`` unrolled steps, each O(n) / O(n²) *vector* ops over
-    the batch — an O(n²)-sized expression graph (compile-friendly) that
-    still lowers entirely to fused elementwise VPU code (no tiny-matrix
-    custom calls). The mid-size workhorse behind
-    :func:`cholesky_solve_small`; exact same semantics.
-    """
+def cholesky_factor_blocked(M: jax.Array) -> jax.Array:
+    """Lower-Cholesky factor via right-looking vectorized rank-1
+    updates: ``n`` unrolled steps of O(n²) *vector* ops over the batch —
+    an O(n²)-sized expression graph lowering to fused elementwise VPU
+    code (no tiny-matrix custom calls)."""
     n = M.shape[-1]
-    if rhs.shape[-1] != n:
-        raise ValueError(f"rhs last dim {rhs.shape[-1]} != n {n}")
     idx = jnp.arange(n)
-
     L = jnp.zeros_like(M)
     A = M
     for j in range(n):
@@ -98,17 +92,32 @@ def cholesky_solve_blocked(M: jax.Array, rhs: jax.Array) -> jax.Array:
         col = jnp.where(idx >= j, col, 0.0)
         L = L.at[..., :, j].set(col)
         A = A - col[..., :, None] * col[..., None, :]
+    return L
 
+
+def cholesky_backsub(L: jax.Array, rhs: jax.Array) -> jax.Array:
+    """Solve ``L Lᵀ x = rhs`` given the lower factor (two unrolled
+    triangular substitutions, vectorized over the batch)."""
+    n = L.shape[-1]
     # Forward substitution L y = rhs (rows above i already solved;
     # zeros elsewhere make the full-row dot exact).
     y = jnp.zeros_like(rhs)
     for i in range(n):
         yi = (rhs[..., i] - jnp.sum(L[..., i, :] * y, axis=-1)) / L[..., i, i]
         y = y.at[..., i].set(yi)
-
     # Back substitution Lᵀ x = y.
     x = jnp.zeros_like(rhs)
     for i in reversed(range(n)):
         xi = (y[..., i] - jnp.sum(L[..., :, i] * x, axis=-1)) / L[..., i, i]
         x = x.at[..., i].set(xi)
     return x
+
+
+def cholesky_solve_blocked(M: jax.Array, rhs: jax.Array) -> jax.Array:
+    """SPD solve via :func:`cholesky_factor_blocked` +
+    :func:`cholesky_backsub`. The mid-size workhorse behind
+    :func:`cholesky_solve_small`; exact same semantics."""
+    n = M.shape[-1]
+    if rhs.shape[-1] != n:
+        raise ValueError(f"rhs last dim {rhs.shape[-1]} != n {n}")
+    return cholesky_backsub(cholesky_factor_blocked(M), rhs)

@@ -25,7 +25,7 @@ trick, CRBA (ch. 6) for the joint-space inertia matrix.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -225,12 +225,28 @@ def contact_generalized_forces(
     return tau, jnp.zeros((0,))
 
 
+def mass_matrix_factor(
+    model: Model, qpos: jax.Array, dt: float = 0.0
+) -> jax.Array:
+    """Lower-Cholesky factor of ``M(q) (+ dt·D)`` — for callers that
+    hold the factor across several substeps (see ``forward_dynamics``
+    ``chol=``)."""
+    from nnx_ppo_tpu.ops.linalg import cholesky_factor_blocked
+
+    kin = fwd_kinematics(model, qpos)
+    M = mass_matrix(model, kin)
+    if dt:
+        M = M + dt * jnp.diag(jnp.asarray(model.damping, jnp.float32))
+    return cholesky_factor_blocked(M)
+
+
 def forward_dynamics(
     model: Model,
     qpos: jax.Array,
     qvel: jax.Array,
     tau_applied: jax.Array,
     dt: float = 0.0,
+    chol: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """``(M + dt·D) q̈ = τ_applied + τ_contact − C`` (D = joint damping);
     also returns per-geom normal forces.
@@ -240,15 +256,27 @@ def forward_dynamics(
     ``implicitfast`` discretization): stiff PD derivative gains can then
     be expressed as model damping and stay unconditionally stable
     instead of limiting the step size. ``dt=0`` is the plain continuous
-    dynamics (used by analytic-exactness tests)."""
+    dynamics (used by analytic-exactness tests).
+
+    ``chol``: optionally a precomputed :func:`mass_matrix_factor`. The
+    CRBA build + factorization dominate the substep cost; holding the
+    factor across a control step's substeps (joint angles move <0.05 rad
+    in 20 ms, so M barely changes) trades a small integration
+    approximation for skipping both — the ``reuse_mass_matrix`` option
+    of the legged envs."""
+    from nnx_ppo_tpu.ops.linalg import cholesky_backsub
+
     kin = fwd_kinematics(model, qpos)
     v = body_velocities(model, kin, qvel)
     C = bias_forces(model, kin, qvel, v)
+    tau_c, normals = contact_generalized_forces(model, kin, v)
+    rhs = tau_applied + tau_c - C
+    if chol is not None:
+        return cholesky_backsub(chol, rhs), normals
     M = mass_matrix(model, kin)
     if dt:
         M = M + dt * jnp.diag(jnp.asarray(model.damping, jnp.float32))
-    tau_c, normals = contact_generalized_forces(model, kin, v)
-    qacc = cholesky_solve_small(M, tau_applied + tau_c - C)
+    qacc = cholesky_solve_small(M, rhs)
     return qacc, normals
 
 

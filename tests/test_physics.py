@@ -270,3 +270,42 @@ class TestHumanoid:
         assert float(state.done) == 0.0
         nxt = jax.jit(env.step)(state, jnp.zeros(10))
         assert jnp.isfinite(nxt.reward["tracking"])
+
+
+class TestMassMatrixReuse:
+    def test_reuse_close_to_exact_over_control_step(self):
+        """With the factor held over 10 substeps (20 ms), the state
+        after ONE control step stays close to the exact-dynamics state
+        (joint angles move little, so M is nearly constant; longer
+        horizons diverge through the chaotic contact dynamics for both
+        integrators alike)."""
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        exact = QuadrupedJoystick()
+        fast = QuadrupedJoystick(reuse_mass_matrix=True)
+        s_e = exact.reset(jax.random.key(0))
+        s_f = fast.reset(jax.random.key(0))
+        a = 0.3 * jnp.sin(jnp.arange(12.0))
+        s_e = exact.step(s_e, a)
+        s_f = fast.step(s_f, a)
+        np.testing.assert_allclose(
+            np.asarray(s_f.data["qpos"]),
+            np.asarray(s_e.data["qpos"]),
+            atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_f.data["qvel"]),
+            np.asarray(s_e.data["qvel"]),
+            atol=1e-1,
+        )
+
+    def test_reuse_stands(self):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        env = QuadrupedJoystick(reuse_mass_matrix=True)
+        state = env.reset(jax.random.key(0))
+        step = jax.jit(env.step)
+        for _ in range(50):  # 1 s
+            state = step(state, jnp.zeros(12))
+        assert float(state.data["qpos"][2]) > 0.15
+        assert not bool(state.done)
