@@ -82,7 +82,7 @@ def cholesky_factor_blocked(M: jax.Array) -> jax.Array:
     code (no tiny-matrix custom calls)."""
     n = M.shape[-1]
     idx = jnp.arange(n)
-    L = jnp.zeros_like(M)
+    cols = []
     A = M
     for j in range(n):
         d = jnp.sqrt(A[..., j, j])
@@ -90,27 +90,35 @@ def cholesky_factor_blocked(M: jax.Array) -> jax.Array:
         # Zero above the diagonal so the trailing-submatrix update and
         # the stored column are restricted to rows >= j.
         col = jnp.where(idx >= j, col, 0.0)
-        L = L.at[..., :, j].set(col)
+        cols.append(col)
         A = A - col[..., :, None] * col[..., None, :]
-    return L
+    # One stack instead of n dynamic-update-slices (profiled: DUS + the
+    # layout copies they force were ~40% of the physics substep).
+    return jnp.stack(cols, axis=-1)
 
 
 def cholesky_backsub(L: jax.Array, rhs: jax.Array) -> jax.Array:
-    """Solve ``L Lᵀ x = rhs`` given the lower factor (two unrolled
-    triangular substitutions, vectorized over the batch)."""
+    """Solve ``L Lᵀ x = rhs`` given the lower factor.
+
+    The two triangular substitutions are scalar-unrolled (O(n²) fused
+    elementwise ops over the batch, Python lists instead of in-place
+    updates): no dynamic-update-slices, no layout copies."""
     n = L.shape[-1]
-    # Forward substitution L y = rhs (rows above i already solved;
-    # zeros elsewhere make the full-row dot exact).
-    y = jnp.zeros_like(rhs)
+    # Forward substitution L y = rhs.
+    ys: list[jax.Array] = []
     for i in range(n):
-        yi = (rhs[..., i] - jnp.sum(L[..., i, :] * y, axis=-1)) / L[..., i, i]
-        y = y.at[..., i].set(yi)
+        acc = rhs[..., i]
+        for k in range(i):
+            acc = acc - L[..., i, k] * ys[k]
+        ys.append(acc / L[..., i, i])
     # Back substitution Lᵀ x = y.
-    x = jnp.zeros_like(rhs)
+    xs: list = [None] * n
     for i in reversed(range(n)):
-        xi = (y[..., i] - jnp.sum(L[..., :, i] * x, axis=-1)) / L[..., i, i]
-        x = x.at[..., i].set(xi)
-    return x
+        acc = ys[i]
+        for k in range(i + 1, n):
+            acc = acc - L[..., k, i] * xs[k]
+        xs[i] = acc / L[..., i, i]
+    return jnp.stack(xs, axis=-1)
 
 
 def cholesky_solve_blocked(M: jax.Array, rhs: jax.Array) -> jax.Array:

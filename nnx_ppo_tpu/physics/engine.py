@@ -134,13 +134,15 @@ def bias_forces(model: Model, kin, qvel: jax.Array, v: list) -> jax.Array:
         ai = kin.X_up[i] @ a_par + crm(v[i]) @ vj
         a.append(ai)
         f.append(I[i] @ ai + crf(v[i]) @ (I[i] @ v[i]))
-    C = jnp.zeros(model.nv)
+    per_body = [None] * NB
     for i in reversed(range(NB)):
-        start, nd = model.dof_slices()[i]
-        C = C.at[start : start + nd].set(kin.S[i].T @ f[i])
+        per_body[i] = kin.S[i].T @ f[i]
         parent = model.parent[i]
         if parent >= 0:
             f[parent] = f[parent] + kin.X_up[i].T @ f[i]
+    # dof_slices are contiguous in body order → one concat, no
+    # dynamic-update-slices.
+    C = jnp.concatenate(per_body)
     return C + jnp.asarray(model.damping, jnp.float32) * qvel
 
 
@@ -173,9 +175,13 @@ def contact_generalized_forces(
     model: Model, kin, v: list
 ) -> tuple[jax.Array, jax.Array]:
     """Ground-plane penalty contacts → (generalized force [nv],
-    per-geom normal force [NG] for metrics/termination)."""
-    tau = jnp.zeros(model.nv)
-    slices = model.dof_slices()
+    per-geom normal force [NG] for metrics/termination).
+
+    Contact spatial forces are first accumulated per body, then mapped
+    to generalized coordinates with ONE backward chain pass (the same
+    ``Xᵀ`` propagation RNEA uses) — instead of walking the chain once
+    per geom."""
+    f_ext: list = [None] * model.n_bodies
     normals = []
     for g, b in enumerate(model.geom_body):
         offset = jnp.asarray(model.geom_offset[g], jnp.float32)
@@ -214,12 +220,23 @@ def contact_generalized_forces(
         # backward pass RNEA uses — no explicit Jacobian needed).
         f_b = E_b.T @ f_w
         f_sp = jnp.concatenate([jnp.cross(contact_offset, f_b), f_b])
-        j = b
-        while j >= 0:
-            sj, nj_ = slices[j]
-            tau = tau.at[sj : sj + nj_].add(kin.S[j].T @ f_sp)
-            f_sp = kin.X_up[j].T @ f_sp
-            j = model.parent[j]
+        f_ext[b] = f_sp if f_ext[b] is None else f_ext[b] + f_sp
+
+    # Single backward pass over the tree (bodies are topologically
+    # ordered): project each body's accumulated external force on its
+    # joint subspace and pass the remainder to the parent.
+    per_body = []
+    for i in reversed(range(model.n_bodies)):
+        fi = f_ext[i]
+        if fi is None:
+            per_body.append(jnp.zeros(model.dof_slices()[i][1]))
+            continue
+        per_body.append(kin.S[i].T @ fi)
+        parent = model.parent[i]
+        if parent >= 0:
+            up = kin.X_up[i].T @ fi
+            f_ext[parent] = up if f_ext[parent] is None else f_ext[parent] + up
+    tau = jnp.concatenate(per_body[::-1])
     if normals:
         return tau, jnp.stack(normals)
     return tau, jnp.zeros((0,))
