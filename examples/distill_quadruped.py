@@ -24,6 +24,8 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+import dataclasses
+
 from nnx_ppo_tpu.algorithms import (
     EvalConfig,
     PPOConfig,
@@ -31,6 +33,7 @@ from nnx_ppo_tpu.algorithms import (
     train_distillation,
     train_ppo,
 )
+from nnx_ppo_tpu.algorithms.distillation import default_distillation_config
 from nnx_ppo_tpu.algorithms.rollout import eval_rollout
 from nnx_ppo_tpu.envs import QuadrupedJoystick
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
@@ -117,8 +120,15 @@ def main() -> None:
 
     student = small_net(jax.random.key(1))
     t0 = time.perf_counter()
+    d_cfg = default_distillation_config()
+    d_cfg = dataclasses.replace(
+        d_cfg,
+        distillation=dataclasses.replace(
+            d_cfg.distillation, n_envs=args.n_envs
+        ),
+    )
     d_result = train_distillation(
-        env, teacher, student, total_steps=args.distill_steps
+        env, teacher, student, d_cfg, total_steps=args.distill_steps
     )
     student = d_result.training_state.student
     s_reward = eval_tracking(env, student)

@@ -104,6 +104,8 @@ def cholesky_backsub(L: jax.Array, rhs: jax.Array) -> jax.Array:
     elementwise ops over the batch, Python lists instead of in-place
     updates): no dynamic-update-slices, no layout copies."""
     n = L.shape[-1]
+    if rhs.shape[-1] != n:
+        raise ValueError(f"rhs last dim {rhs.shape[-1]} != n {n}")
     # Forward substitution L y = rhs.
     ys: list[jax.Array] = []
     for i in range(n):

@@ -30,7 +30,11 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from nnx_ppo_tpu.ops.linalg import cholesky_solve_small
+from nnx_ppo_tpu.ops.linalg import (
+    cholesky_backsub,
+    cholesky_factor_blocked,
+    cholesky_solve_small,
+)
 from nnx_ppo_tpu.physics.model import FREE, HINGE, Model
 from nnx_ppo_tpu.physics.spatial import (
     crf,
@@ -242,14 +246,13 @@ def contact_generalized_forces(
     return tau, jnp.zeros((0,))
 
 
-def mass_matrix_factor(
-    model: Model, qpos: jax.Array, dt: float = 0.0
-) -> jax.Array:
-    """Lower-Cholesky factor of ``M(q) (+ dt·D)`` — for callers that
-    hold the factor across several substeps (see ``forward_dynamics``
-    ``chol=``)."""
-    from nnx_ppo_tpu.ops.linalg import cholesky_factor_blocked
-
+def mass_matrix_factor(model: Model, qpos: jax.Array, *, dt: float) -> jax.Array:
+    """Lower-Cholesky factor of ``M(q) + dt·D`` — for callers that hold
+    the factor across several substeps (see ``forward_dynamics``
+    ``chol=``). ``dt`` is required (keyword-only): the implicit
+    joint-damping term is baked into the factor, so it MUST match the
+    integration step the factor will be used with — pass ``dt=0.0``
+    explicitly for undamped continuous dynamics."""
     kin = fwd_kinematics(model, qpos)
     M = mass_matrix(model, kin)
     if dt:
@@ -280,9 +283,9 @@ def forward_dynamics(
     factor across a control step's substeps (joint angles move <0.05 rad
     in 20 ms, so M barely changes) trades a small integration
     approximation for skipping both — the ``reuse_mass_matrix`` option
-    of the legged envs."""
-    from nnx_ppo_tpu.ops.linalg import cholesky_backsub
-
+    of the legged envs. The factor must have been built with the SAME
+    ``dt`` (the implicit damping term is baked into it); when ``chol``
+    is given, the ``dt`` argument here is not consulted."""
     kin = fwd_kinematics(model, qpos)
     v = body_velocities(model, kin, qvel)
     C = bias_forces(model, kin, qvel, v)
