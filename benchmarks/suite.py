@@ -217,6 +217,12 @@ CONFIGS = {
     "quadruped_2048_fastM": functools.partial(
         _legged_physics, "quadruped", reuse_mass_matrix=True
     ),
+    "quadruped_8192_fastM": functools.partial(
+        _legged_physics, "quadruped", n_envs=8192, reuse_mass_matrix=True
+    ),
+    "humanoid_2048_fastM": functools.partial(
+        _legged_physics, "humanoid", reuse_mass_matrix=True
+    ),
     "population_graph": _population_graph,
 }
 
