@@ -40,18 +40,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 DEFAULT_OUT = os.path.join(REPO, "benchmarks", "results", "parity_curves.csv")
 
-EVAL_EVERY = 100_000
 EVAL_ENVS = 64
-EVAL_EPISODE_LENGTH = 100
-HIDDEN = [128, 128]
+
+# Per-env settings: (eval cadence, eval episode length, hidden sizes,
+# sampler entropy weight).
+ENV_SETTINGS = {
+    "move_to_center": (100_000, 100, [128, 128], 1e-2),
+    "cartpole": (200_000, 500, [64, 64], 1e-3),
+}
 
 
-def _make_env():
+def _make_env(name: str):
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
-    from nnx_ppo_tpu.test_dummies import MoveToCenterEnv
+    if name == "move_to_center":
+        from nnx_ppo_tpu.test_dummies import MoveToCenterEnv
 
-    return MoveToCenterEnv(reward_falloff=1.0, border_radius=10.0)
+        return MoveToCenterEnv(reward_falloff=1.0, border_radius=10.0)
+    from nnx_ppo_tpu.envs import CartpoleBalance
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    return EpisodeWrapper(CartpoleBalance(), max_len=500)
 
 
 def _reward_mean(metrics: dict) -> float:
@@ -61,7 +70,7 @@ def _reward_mean(metrics: dict) -> float:
     raise KeyError(f"no episode_reward mean in {sorted(metrics)}")
 
 
-def run_reference(seed: int, total_steps: int) -> list[tuple[int, float]]:
+def run_reference(env_name: str, seed: int, total_steps: int):
     sys.path.insert(0, REFERENCE)
     import dataclasses
 
@@ -70,20 +79,22 @@ def run_reference(seed: int, total_steps: int) -> list[tuple[int, float]]:
     from nnx_ppo.algorithms import ppo as ref_ppo
     from nnx_ppo.networks import factories as ref_factories
 
-    env = _make_env()
+    eval_every, eval_len, hidden, entropy = ENV_SETTINGS[env_name]
+    env = _make_env(env_name)
     nets = ref_factories.make_mlp_actor_critic(
         env.observation_size,
         env.action_size,
-        actor_hidden_sizes=HIDDEN,
-        critic_hidden_sizes=HIDDEN,
+        actor_hidden_sizes=hidden,
+        critic_hidden_sizes=hidden,
         rngs=nnx.Rngs(seed, action_sampling=seed),
+        entropy_weight=entropy,
     )
     cfg = ref_config.TrainConfig(
         eval=dataclasses.replace(
             ref_config.EvalConfig(),
-            every_steps=EVAL_EVERY,
+            every_steps=eval_every,
             n_envs=EVAL_ENVS,
-            max_episode_length=EVAL_EPISODE_LENGTH,
+            max_episode_length=eval_len,
             logging_percentiles=None,
         ),
         seed=seed,
@@ -95,7 +106,7 @@ def run_reference(seed: int, total_steps: int) -> list[tuple[int, float]]:
     ]
 
 
-def run_tpu(seed: int, total_steps: int) -> list[tuple[int, float]]:
+def run_tpu(env_name: str, seed: int, total_steps: int):
     import dataclasses
 
     import jax
@@ -105,20 +116,22 @@ def run_tpu(seed: int, total_steps: int) -> list[tuple[int, float]]:
     from nnx_ppo_tpu.algorithms import EvalConfig, TrainConfig, train_ppo
     from nnx_ppo_tpu.networks import make_mlp_actor_critic
 
-    env = _make_env()
+    eval_every, eval_len, hidden, entropy = ENV_SETTINGS[env_name]
+    env = _make_env(env_name)
     nets = make_mlp_actor_critic(
         env.observation_size,
         env.action_size,
-        HIDDEN,
-        HIDDEN,
+        hidden,
+        hidden,
         jax.random.key(seed),
+        entropy_weight=entropy,
     )
     cfg = TrainConfig(
         eval=dataclasses.replace(
             EvalConfig(),
-            every_steps=EVAL_EVERY,
+            every_steps=eval_every,
             n_envs=EVAL_ENVS,
-            max_episode_length=EVAL_EPISODE_LENGTH,
+            max_episode_length=eval_len,
             logging_percentiles=None,
         ),
         seed=seed,
@@ -145,6 +158,8 @@ def append_csv(out: str, impl: str, seed: int, curve, wall_s: float) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--impl", choices=["reference", "tpu"])
+    parser.add_argument("--env", choices=list(ENV_SETTINGS),
+                        default="move_to_center")
     parser.add_argument("--seed", type=int, default=22)
     parser.add_argument("--total-steps", type=int, default=2_000_000)
     parser.add_argument("--out", default=DEFAULT_OUT)
@@ -161,6 +176,7 @@ def main() -> None:
                 cmd = [
                     sys.executable, os.path.abspath(__file__),
                     "--impl", impl, "--seed", str(seed),
+                    "--env", args.env,
                     "--total-steps", str(args.total_steps),
                     "--out", args.out,
                 ]
@@ -178,7 +194,7 @@ def main() -> None:
 
     start = time.perf_counter()
     runner = run_reference if args.impl == "reference" else run_tpu
-    curve = runner(args.seed, args.total_steps)
+    curve = runner(args.env, args.seed, args.total_steps)
     wall = time.perf_counter() - start
     append_csv(args.out, args.impl, args.seed, curve, wall)
     for step, reward in curve:
