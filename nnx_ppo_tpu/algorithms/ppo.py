@@ -19,6 +19,7 @@ re-architected TPU-first:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import time
@@ -620,16 +621,35 @@ def train_ppo(
     # count is computed host-side — it advances by exactly
     # n_envs·rollout_length per iteration — so with no due callbacks the
     # host dispatches ahead and the device pipeline never drains.
+    #
+    # Dispatch-ahead is BOUNDED: each queued execution pins its buffers,
+    # so an unbounded queue (hundreds of iterations between callback
+    # points) can exhaust runtime resources — observed as intermittent
+    # ``Fatal Python error: Aborted`` in the CPU client on the 8-device
+    # mesh convergence test. Blocking on the result from PIPELINE_DEPTH
+    # iterations ago keeps ≤ PIPELINE_DEPTH programs in flight while
+    # still hiding per-program dispatch latency completely (the blocked-
+    # on work is long finished in steady state).
     steps_per_iter = (
         config.ppo.n_envs * config.ppo.rollout_length * config.ppo.steps_per_call
     )
     steps_per_inner = config.ppo.n_envs * config.ppo.rollout_length
     metrics_are_history = config.ppo.steps_per_call > 1 and log_fn is not None
     initial_steps = steps
+    PIPELINE_DEPTH = 16
+    in_flight: collections.deque = collections.deque()
     while steps < config.ppo.total_steps:
         t0 = time.perf_counter() if measure_throughput else None
         prev_steps = steps
         training_state, metrics = ppo_step_jit(training_state)
+        # Track a fresh (non-donated) output per iteration — the
+        # TrainingState buffers are donated into the NEXT call, so they
+        # cannot be waited on.
+        leaves = jax.tree.leaves(metrics)
+        if leaves:
+            in_flight.append(leaves[0])
+            if len(in_flight) > PIPELINE_DEPTH:
+                jax.block_until_ready(in_flight.popleft())
         n_iterations += 1
         steps = initial_steps + n_iterations * steps_per_iter
         if metrics_are_history:
