@@ -8,23 +8,30 @@ comparison (north star in BASELINE.md: "reward curve parity with
 reference within seed variance"; harness mirrors
 ``/root/reference/examples/compare_with_brax.py:96-127``).
 
-The shared env is this repo's ``MoveToCenterEnv(reward_falloff=1.0,
-border_radius=10.0)`` — the same analytic spec the reference's own
-convergence gate uses (``/root/reference/nnx_ppo/algorithms/ppo_test.py:266-305``)
-— passed directly to *both* frameworks (both declare a structural
-``RLEnv`` protocol, so one env object serves both). Eval semantics match
-(done-latch, alive-masked reward accumulation), making
-``episode_reward mean`` over a fixed 100-step eval window directly
-comparable.
+One SHARED env object is passed to *both* frameworks (both declare a
+structural ``RLEnv`` protocol), with matched nets/hypers/eval
+semantics (done-latch, alive-masked reward accumulation):
+
+* ``--env move_to_center`` (default): this repo's
+  ``MoveToCenterEnv(reward_falloff=1.0, border_radius=10.0)`` — the
+  same analytic spec the reference's own convergence gate uses
+  (``/root/reference/nnx_ppo/algorithms/ppo_test.py:266-305``);
+  100-step eval windows.
+* ``--env cartpole``: ``EpisodeWrapper(CartpoleBalance(), 500)`` — the
+  BASELINE north-star env; 500-step eval windows (note: staggered
+  truncation makes the achievable eval ceiling ≈375, not 500).
+
+Each env writes to its own default CSV
+(``parity_curves.csv`` / ``parity_cartpole.csv``).
 
 Usage::
 
     # one run (one impl, one seed) — prints curve rows, appends to CSV
     python benchmarks/reference_parity.py --impl tpu --seed 22 \
-        --total-steps 2000000 --out benchmarks/results/parity_curves.csv
+        --env cartpole --total-steps 3000000
 
     # everything (3 seeds x 2 impls), sequential subprocesses
-    python benchmarks/reference_parity.py --all --total-steps 2000000
+    python benchmarks/reference_parity.py --all --env cartpole
 """
 
 from __future__ import annotations
@@ -38,7 +45,6 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
-DEFAULT_OUT = os.path.join(REPO, "benchmarks", "results", "parity_curves.csv")
 
 EVAL_ENVS = 64
 
@@ -162,13 +168,21 @@ def main() -> None:
                         default="move_to_center")
     parser.add_argument("--seed", type=int, default=22)
     parser.add_argument("--total-steps", type=int, default=2_000_000)
-    parser.add_argument("--out", default=DEFAULT_OUT)
+    parser.add_argument("--out", default=None,
+                        help="CSV path (default: per-env file under "
+                             "benchmarks/results/)")
     parser.add_argument("--all", action="store_true",
                         help="run 3 seeds x 2 impls as subprocesses")
     parser.add_argument("--seeds", type=int, nargs="+", default=[22, 23, 24])
     args = parser.parse_args()
     if not args.all and args.impl is None:
         parser.error("--impl is required unless --all is given")
+    if args.out is None:
+        # Per-env default file: mixing envs in one CSV would be
+        # indistinguishable (rows carry no env column).
+        name = ("parity_curves.csv" if args.env == "move_to_center"
+                else f"parity_{args.env}.csv")
+        args.out = os.path.join(REPO, "benchmarks", "results", name)
 
     if args.all:
         for impl in ("tpu", "reference"):
