@@ -1,0 +1,228 @@
+"""Structure-of-arrays physics substep — the math body of the Pallas
+megakernel (``pallas_step.py``), runnable under plain XLA too.
+
+Implements ONE semi-implicit-Euler substep of the legged-robot fast
+path (``reuse_mass_matrix``): kinematics → velocities → RNEA bias →
+penalty contacts → per-substep PD → back-substitution with a
+PREcomputed Cholesky factor of ``M + dt·D`` → integrate. Every scalar
+of the computation is a lane array (see ``soa.py``), so the whole
+substep is a single fused chain of elementwise ops — no 3×3/6×6
+batched matmuls, no layout changes, no dynamic-update-slices.
+
+Exactness vs the generic engine (``engine.py`` with ``chol=``) is
+covered by ``tests/test_physics_soa.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.physics.model import FREE, Model
+from nnx_ppo_tpu.physics import soa
+
+
+def _const3(x):
+    return (float(x[0]), float(x[1]), float(x[2]))
+
+
+def _const9(M):
+    import numpy as np
+
+    M = np.asarray(M, dtype=float)
+    return tuple(float(v) for v in M.reshape(-1))
+
+
+def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
+    """One physics substep on lane tuples.
+
+    Args:
+      model: static model (free base required; hinge joints).
+      qpos: tuple of nq lanes ``(pos3, quat4, joints...)``.
+      qvel: tuple of nv lanes ``(ω3 body, v3 body, joint rates...)``.
+      target: tuple of nj lanes (PD position targets).
+      chol: nested tuple ``chol[i][j]`` (i ≥ j) of lanes — lower
+        Cholesky factor of ``M + dt·D`` (held constant over substeps).
+      kp: PD P-gain (D-gain lives in model damping, implicit in chol).
+      dt: substep length.
+
+    Returns ``(qpos', qvel')`` lane tuples.
+    """
+    assert model.free_base, "SoA substep supports free-base models"
+    NB = model.n_bodies
+    nj = model.nj
+    nv = model.nv
+    slices = model.dof_slices()
+
+    pos = qpos[0:3]
+    quat = qpos[3:7]
+    jq = qpos[7:]
+    w0 = qvel[0:3]
+    v0 = qvel[3:6]
+    jd = qvel[6:]
+
+    # ---- kinematics (trace-time loop over bodies) ----
+    E = [None] * NB  # world_R_body (9-tuple of lanes)
+    P = [None] * NB  # body origin in world (3-tuple)
+    Rcp = [None] * NB  # child_R_parent
+    jpos_c = [None] * NB  # joint anchor consts
+    jq_cursor = 0
+    joint_of_body = [None] * NB
+    for i, jtype in enumerate(model.joint_type):
+        parent = model.parent[i]
+        jp = _const3(model.joint_pos[i])
+        jpos_c[i] = jp
+        if jtype == FREE:
+            E[i] = soa.quat_to_m3(quat)
+            P[i] = pos
+            Rcp[i] = None  # base transform handled specially
+        else:
+            joint_of_body[i] = jq_cursor
+            axis = _const3(model.joint_axis[i])
+            R_j = soa.axis_angle_m3(axis, jq[jq_cursor])  # parent_R_child
+            jq_cursor += 1
+            E_par, P_par = E[parent], P[parent]
+            E[i] = soa.m3_mul(E_par, R_j)
+            P[i] = soa.v3_add(P_par, soa.m3_vec(E_par, jp))
+            # child_R_parent = R_jᵀ (row-major transpose)
+            Rcp[i] = (
+                R_j[0], R_j[3], R_j[6],
+                R_j[1], R_j[4], R_j[7],
+                R_j[2], R_j[5], R_j[8],
+            )
+
+    # ---- body velocities ----
+    v = [None] * NB
+    v[0] = soa.sp(w0, v0)
+    for i in range(1, NB):
+        parent = model.parent[i]
+        vi = soa.xup_motion(Rcp[i], jpos_c[i], v[parent])
+        axis = _const3(model.joint_axis[i])
+        qd_i = jd[joint_of_body[i]]
+        vi = (
+            vi[0] + axis[0] * qd_i,
+            vi[1] + axis[1] * qd_i,
+            vi[2] + axis[2] * qd_i,
+            vi[3], vi[4], vi[5],
+        )
+        v[i] = vi
+
+    # ---- RNEA bias (gravity as upward world acceleration) ----
+    lane = pos[0]
+    zero = jnp.zeros_like(lane)
+    g = -float(model.gravity)  # +9.81
+    a_world = (zero, zero, zero, zero, zero, zero + g)
+    a = [None] * NB
+    f = [None] * NB
+    # Base: X0 = motion_transform(E0ᵀ, pos); crm(v)·v = 0.
+    E0T = (
+        E[0][0], E[0][3], E[0][6],
+        E[0][1], E[0][4], E[0][7],
+        E[0][2], E[0][5], E[0][8],
+    )
+    a[0] = soa.xup_motion(E0T, pos, a_world)
+    for i in range(1, NB):
+        parent = model.parent[i]
+        ai = soa.xup_motion(Rcp[i], jpos_c[i], a[parent])
+        axis = _const3(model.joint_axis[i])
+        qd_i = jd[joint_of_body[i]]
+        vj = (axis[0] * qd_i, axis[1] * qd_i, axis[2] * qd_i, zero, zero, zero)
+        ai = soa.sp_add(ai, soa.crm_apply(v[i], vj))
+        a[i] = ai
+    for i in range(NB):
+        mass = float(model.mass[i])
+        com = _const3(model.com[i])
+        Icom = _const9(model.inertia[i])
+        Iv = soa.inertia_apply(mass, com, Icom, v[i])
+        Ia = soa.inertia_apply(mass, com, Icom, a[i])
+        f[i] = soa.sp_add(Ia, soa.crf_apply(v[i], Iv))
+
+    # ---- contacts (accumulate per body, then shared backward pass) ----
+    normals = []
+    for gidx, b in enumerate(model.geom_body):
+        offset = _const3(model.geom_offset[gidx])
+        radius = float(model.geom_radius[gidx])
+        E_b, P_b = E[b], P[b]
+        x_w = soa.v3_add(P_b, soa.m3_vec(E_b, offset))
+        phi = radius - x_w[2]
+        wb = soa.sp_ang(v[b])
+        lb = soa.sp_lin(v[b])
+        down = soa.m3T_vec(E_b, (zero, zero, zero - 1.0))
+        contact_offset = (
+            offset[0] + down[0] * radius,
+            offset[1] + down[1] * radius,
+            offset[2] + down[2] * radius,
+        )
+        v_pt = soa.m3_vec(
+            E_b, soa.v3_add(lb, soa.v3_cross(wb, contact_offset))
+        )
+        active = phi > 0.0
+        fn = jnp.where(
+            active,
+            jnp.maximum(
+                0.0,
+                model.contact_stiffness * phi
+                - model.contact_damping * v_pt[2],
+            ),
+            0.0,
+        )
+        vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2 + 1e-6)
+        scale = -model.friction * fn / jnp.maximum(vt_norm, 0.1)
+        f_w = (scale * v_pt[0], scale * v_pt[1], fn)
+        normals.append(fn)
+        f_b = soa.m3T_vec(E_b, f_w)
+        f_sp = soa.sp(soa.v3_cross(contact_offset, f_b), f_b)
+        # Subtract from the bias force (C enters the rhs negatively, so
+        # external forces SUBTRACT from f): rhs = tau + tau_c - C.
+        # Keep separate accumulation to mirror the engine exactly.
+        f[b] = tuple(f[b][k] - f_sp[k] for k in range(6))
+
+    # ---- backward pass: generalized bias (incl. contacts) ----
+    per_dof = [None] * NB
+    for i in reversed(range(NB)):
+        if model.joint_type[i] == FREE:
+            per_dof[i] = list(f[i])  # S = I6
+        else:
+            axis = _const3(model.joint_axis[i])
+            per_dof[i] = [
+                axis[0] * f[i][0] + axis[1] * f[i][1] + axis[2] * f[i][2]
+            ]
+        parent = model.parent[i]
+        if parent >= 0:
+            up = soa.xup_force_T(Rcp[i], jpos_c[i], f[i])
+            f[parent] = soa.sp_add(f[parent], up)
+
+    C = []
+    for i in range(NB):
+        C.extend(per_dof[i])
+    damping = [float(d) for d in model.damping]
+    C = [C[k] + damping[k] * qvel[k] for k in range(nv)]
+
+    # ---- applied torques (per-substep PD, P-term only) ----
+    rhs = [-C[k] for k in range(6)]
+    for j in range(nj):
+        rhs.append(kp * (target[j] - jq[j]) - C[6 + j])
+
+    # ---- back-substitution with the held factor ----
+    ys = []
+    for i in range(nv):
+        acc = rhs[i]
+        for k in range(i):
+            acc = acc - chol[i][k] * ys[k]
+        ys.append(acc / chol[i][i])
+    qacc = [None] * nv
+    for i in reversed(range(nv)):
+        acc = ys[i]
+        for k in range(i + 1, nv):
+            acc = acc - chol[k][i] * qacc[k]
+        qacc[i] = acc / chol[i][i]
+
+    # ---- semi-implicit Euler ----
+    new_qvel = tuple(qvel[k] + dt * qacc[k] for k in range(nv))
+    w_new = new_qvel[0:3]
+    v_new = new_qvel[3:6]
+    pos_new = soa.v3_add(pos, soa.v3_scale(dt, soa.m3_vec(E[0], v_new)))
+    quat_new = soa.quat_integrate(quat, w_new, dt)
+    jq_new = tuple(jq[j] + dt * new_qvel[6 + j] for j in range(nj))
+    new_qpos = pos_new + quat_new + jq_new
+    return new_qpos, new_qvel, tuple(normals)

@@ -1,0 +1,114 @@
+"""Pallas TPU megakernel for the legged-robot physics substeps.
+
+One ``pallas_call`` executes ALL ``n_substeps`` of a control step for a
+tile of environments, with every intermediate held in VMEM/registers:
+the ~200 small sequential XLA kernels per substep (the measured
+bottleneck of the physics rollout — see ``docs/physics.md``) collapse
+into a single fused program per tile. The math body is the SoA substep
+(``engine_soa.py``), exactness-tested against the generic engine; this
+module only adds the lane plumbing.
+
+Layout: host arrays are env-major ``[B, k]``; the kernel wants
+lane-major ``[k, B]`` so each scalar-of-the-computation is a ``[TILE]``
+lane vector. The transposes happen once per control step (tiny next to
+the 10 fused substeps). The Cholesky factor of ``M + dt·D`` is computed
+OUTSIDE (existing XLA path, once per control step — the
+``reuse_mass_matrix`` semantics) and passed in packed lower-triangular
+form.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.physics.engine_soa import substep_soa
+from nnx_ppo_tpu.physics.model import Model
+
+
+def _tri_indices(nv: int):
+    return [(i, j) for i in range(nv) for j in range(i + 1)]
+
+
+def pallas_substeps(
+    model: Model,
+    qpos: jax.Array,  # [B, nq]
+    qvel: jax.Array,  # [B, nv]
+    target: jax.Array,  # [B, nj]
+    chol: jax.Array,  # [B, nv, nv] lower factor of M + dt·D
+    kp: float,
+    dt: float,
+    n_substeps: int,
+    tile: int = 256,
+    interpret: bool = False,
+    substeps_per_kernel: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Run ``n_substeps`` physics substeps through the Pallas kernel.
+
+    The kernel executes ``substeps_per_kernel`` fused substeps per
+    launch; ``n_substeps`` must be a multiple. The default of 1 keeps
+    the Mosaic program small (observed: an in-kernel ``fori_loop`` over
+    10 substeps wedges the remote Mosaic compile on the tunneled v5e,
+    while the single-substep body compiles in seconds) — even at 1, a
+    control step is 10 kernel launches instead of the ~2000 XLA kernels
+    of the vmapped generic engine.
+
+    Returns ``(qpos', qvel')`` with the input layouts.
+    """
+    from jax.experimental import pallas as pl
+
+    B = qpos.shape[0]
+    nq, nv, nj = model.nq, model.nv, model.nj
+    if B % tile != 0:
+        raise ValueError(f"batch {B} not divisible by tile {tile}")
+    if n_substeps % substeps_per_kernel != 0:
+        raise ValueError("n_substeps must be a multiple of substeps_per_kernel")
+    tri = _tri_indices(nv)
+
+    qpos_t = qpos.T  # [nq, B]
+    qvel_t = qvel.T
+    target_t = target.T
+    chol_packed = jnp.stack([chol[:, i, j] for (i, j) in tri])  # [n_tri, B]
+
+    def kernel(qpos_ref, qvel_ref, target_ref, chol_ref, qpos_out, qvel_out):
+        qp = tuple(qpos_ref[k, :] for k in range(nq))
+        qv = tuple(qvel_ref[k, :] for k in range(nv))
+        tgt = tuple(target_ref[k, :] for k in range(nj))
+        rows = [[None] * (i + 1) for i in range(nv)]
+        for idx, (i, j) in enumerate(tri):
+            rows[i][j] = chol_ref[idx, :]
+        chol_lanes = tuple(tuple(r) for r in rows)
+
+        for _ in range(substeps_per_kernel):
+            qp, qv, _ = substep_soa(model, qp, qv, tgt, chol_lanes, kp, dt)
+        for k in range(nq):
+            qpos_out[k, :] = qp[k]
+        for k in range(nv):
+            qvel_out[k, :] = qv[k]
+
+    grid = (B // tile,)
+
+    def spec(k):
+        return pl.BlockSpec((k, tile), lambda i: (0, i))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(nq), spec(nv), spec(nj), spec(len(tri))],
+        out_specs=[spec(nq), spec(nv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, B), jnp.float32),
+            jax.ShapeDtypeStruct((nv, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    qpos_t = qpos_t.astype(jnp.float32)
+    qvel_t = qvel_t.astype(jnp.float32)
+    target_t = target_t.astype(jnp.float32)
+    chol_packed = chol_packed.astype(jnp.float32)
+    for _ in range(n_substeps // substeps_per_kernel):
+        qpos_t, qvel_t = call(qpos_t, qvel_t, target_t, chol_packed)
+    return qpos_t.T, qvel_t.T
