@@ -47,6 +47,7 @@ def soa_substeps(model, qpos, qvel, target, kp, dt, n_sub):
     return jnp.stack(qp, axis=1), jnp.stack(qv, axis=1)
 
 
+@pytest.mark.slow  # unrolled per-env reference path: minutes of CPU compile
 @pytest.mark.parametrize(
     "make_model,default_qpos,kp",
     [
