@@ -191,7 +191,7 @@ def load_checkpoint(path: str, training_state: Any) -> dict[str, Any]:
     if version >= 2:
         template_names = [name for name, _ in named]
         ckpt_names = metadata["leaf_names"]
-        if template_names != ckpt_names:
+        if set(template_names) != set(ckpt_names):
             missing = sorted(set(ckpt_names) - set(template_names))
             extra = sorted(set(template_names) - set(ckpt_names))
             raise ValueError(
@@ -201,6 +201,9 @@ def load_checkpoint(path: str, training_state: Any) -> dict[str, Any]:
                 "(named-leaf layout, format v2 — restoring into a "
                 "different architecture is not supported)"
             )
+        # Same name set in a different order (e.g. a dataclass field
+        # reorder between save and load) restores fine: leaves are
+        # stored BY NAME, so the template's own order drives the reads.
         storage_names = template_names
     else:
         # Legacy v1 layout: integer-indexed leaves in flatten order.

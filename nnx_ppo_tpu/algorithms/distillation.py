@@ -21,7 +21,6 @@ shard-local minibatch permutations.
 
 from __future__ import annotations
 
-import collections
 import dataclasses
 import functools
 import time
@@ -471,21 +470,15 @@ def train_distillation(
         log_fn(metrics, steps)
 
     # Host-side step counting (no per-iteration device sync) with the
-    # same BOUNDED dispatch-ahead as train_ppo: block on a fresh
-    # (non-donated) output from PIPELINE_DEPTH iterations ago so queued
-    # executions (and their pinned buffers) stay bounded between
-    # callback points.
+    # same bounded dispatch-ahead as train_ppo.
+    from nnx_ppo_tpu.algorithms.ppo import BoundedDispatch
+
     steps_per_iter = config.distillation.n_envs * config.distillation.rollout_length
     initial_steps = steps
-    PIPELINE_DEPTH = 16
-    in_flight: collections.deque = collections.deque()
+    dispatch = BoundedDispatch()
     while steps < config.distillation.total_steps:
         distillation_state, metrics = step_jit(distillation_state)
-        leaves = jax.tree.leaves(metrics)
-        if leaves:
-            in_flight.append(leaves[0])
-            if len(in_flight) > PIPELINE_DEPTH:
-                jax.block_until_ready(in_flight.popleft())
+        dispatch.push(metrics)
         n_iterations += 1
         steps = initial_steps + n_iterations * steps_per_iter
 

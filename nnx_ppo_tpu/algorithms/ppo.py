@@ -58,6 +58,27 @@ from nnx_ppo_tpu.parallel.mesh import (
 from nnx_ppo_tpu.parallel.permutation import minibatch_permutations
 
 
+class BoundedDispatch:
+    """Bound host dispatch-ahead: track one fresh (non-donated) output
+    leaf per iteration and block on the one from ``depth`` iterations
+    ago. In steady state that work is long finished, so dispatch latency
+    stays fully hidden while in-flight programs (and the buffers they
+    pin) are bounded — an unbounded queue was observed to abort the
+    runtime on the 8-device CPU mesh. Shared by train_ppo and
+    train_distillation."""
+
+    def __init__(self, depth: int = 16):
+        self.depth = depth
+        self._in_flight: collections.deque = collections.deque()
+
+    def push(self, metrics: dict) -> None:
+        leaves = jax.tree.leaves(metrics)
+        if leaves:
+            self._in_flight.append(leaves[0])
+            if len(self._in_flight) > self.depth:
+                jax.block_until_ready(self._in_flight.popleft())
+
+
 def default_config() -> TrainConfig:
     """Return default training configuration."""
     return TrainConfig()
@@ -636,22 +657,19 @@ def train_ppo(
     steps_per_inner = config.ppo.n_envs * config.ppo.rollout_length
     metrics_are_history = config.ppo.steps_per_call > 1 and log_fn is not None
     initial_steps = steps
-    PIPELINE_DEPTH = 16
-    in_flight: collections.deque = collections.deque()
+    dispatch = BoundedDispatch()
     while steps < config.ppo.total_steps:
         t0 = time.perf_counter() if measure_throughput else None
         prev_steps = steps
         training_state, metrics = ppo_step_jit(training_state)
-        # Track a fresh (non-donated) output per iteration — the
-        # TrainingState buffers are donated into the NEXT call, so they
-        # cannot be waited on.
-        leaves = jax.tree.leaves(metrics)
-        if leaves:
-            in_flight.append(leaves[0])
-            if len(in_flight) > PIPELINE_DEPTH:
-                jax.block_until_ready(in_flight.popleft())
+        dispatch.push(metrics)
         n_iterations += 1
         steps = initial_steps + n_iterations * steps_per_iter
+        elapsed = None
+        if measure_throughput:
+            # Time the step alone — BEFORE any host-side logging below.
+            jax.block_until_ready(metrics)
+            elapsed = time.perf_counter() - t0
         if metrics_are_history:
             # Device-side metric ring buffer: one host fetch per call,
             # then log every fused sub-iteration at its own step count
@@ -665,8 +683,6 @@ def train_ppo(
             for i, row in enumerate(rows[:-1]):
                 log_fn(row, prev_steps + (i + 1) * steps_per_inner)
         if measure_throughput:
-            jax.block_until_ready(metrics)
-            elapsed = time.perf_counter() - t0
             metrics["throughput/train_sps"] = steps_per_iter / elapsed
 
         if config.eval.enabled and _should_run(

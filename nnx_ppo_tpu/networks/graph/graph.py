@@ -36,6 +36,18 @@ from nnx_ppo_tpu.networks.graph.population import Population
 from nnx_ppo_tpu.networks.types import ModuleOutput, ModuleState, StatefulModule
 
 
+
+def _ring_write(buf: jax.Array, idx: jax.Array, value: jax.Array, L: int):
+    """One-hot masked ring-buffer write (shared by the step-wise
+    forward, the recurrent-core replay scan, and the final-carry scan —
+    fused-replay exactness requires all sites to match bit-for-bit).
+
+    Returns ``(buf', idx')`` with ``value`` written at slot ``idx`` and
+    the index advanced mod ``L``."""
+    mask = jax.nn.one_hot(idx, L, dtype=jnp.bool_)[:, :, None]
+    return jnp.where(mask, value[:, None, :], buf), (idx + 1) % L
+
+
 class PopulationGraphBuilder:
     """Mutable builder: ``add_population`` / ``add_input`` /
     ``add_output`` / ``connect``, then ``finalize()`` → the frozen
@@ -281,12 +293,14 @@ class PopulationGraph(StatefulModule):
 
             updated: dict[str, Any] = {}
             if pop.max_outgoing_delay > 0:
-                L = pop.max_outgoing_delay
-                buf = pop_state[pop_name]["buffer"]
-                idx = pop_state[pop_name]["buffer_idx"]
-                mask = jax.nn.one_hot(idx, L, dtype=jnp.bool_)[:, :, None]
-                updated["buffer"] = jnp.where(mask, activated[:, None, :], buf)
-                updated["buffer_idx"] = (idx + 1) % L
+                buf, idx = _ring_write(
+                    pop_state[pop_name]["buffer"],
+                    pop_state[pop_name]["buffer_idx"],
+                    activated,
+                    pop.max_outgoing_delay,
+                )
+                updated["buffer"] = buf
+                updated["buffer_idx"] = idx
             new_pop_state[pop_name] = updated
 
         outputs = {
@@ -560,11 +574,10 @@ class PopulationGraph(StatefulModule):
                     )
                 new_bufs = {}
                 for n in scan_buffered:
-                    buf, idx = carry["bufs"][n]
-                    L = pops[n].max_outgoing_delay
-                    mask = jax.nn.one_hot(idx, L, dtype=jnp.bool_)[:, :, None]
-                    buf = jnp.where(mask, current[n][:, None, :], buf)
-                    idx = (idx + 1) % L
+                    buf, idx = _ring_write(
+                        *carry["bufs"][n], current[n],
+                        pops[n].max_outgoing_delay,
+                    )
                     buf = jnp.where(done_t[:, None, None], 0.0, buf)
                     idx = jnp.where(done_t, 0, idx)
                     new_bufs[n] = (buf, idx)
@@ -611,11 +624,9 @@ class PopulationGraph(StatefulModule):
                 acts_t, done_t = xs
                 new_carry = {}
                 for p in buffered:
-                    buf, idx = carry[p.name]
-                    L = p.max_outgoing_delay
-                    mask = jax.nn.one_hot(idx, L, dtype=jnp.bool_)[:, :, None]
-                    buf = jnp.where(mask, acts_t[p.name][:, None, :], buf)
-                    idx = (idx + 1) % L
+                    buf, idx = _ring_write(
+                        *carry[p.name], acts_t[p.name], p.max_outgoing_delay
+                    )
                     buf = jnp.where(done_t[:, None, None], 0.0, buf)
                     idx = jnp.where(done_t, 0, idx)
                     new_carry[p.name] = (buf, idx)

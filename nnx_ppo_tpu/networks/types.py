@@ -143,8 +143,7 @@ class StatefulModule(abc.ABC):
         """
         T, B = done_seq.shape
         if self.replay_time_static:
-            state_t = expand_state_over_time(module_state, T + 1)
-            per_step = jax.tree.map(lambda x: x[:T], state_t)
+            per_step = expand_state_over_time(module_state, T)
 
             def forward_t(state, obs, extras):
                 out = self(state, obs, extras)
