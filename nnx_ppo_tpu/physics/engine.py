@@ -35,7 +35,7 @@ from nnx_ppo_tpu.ops.linalg import (
     cholesky_factor_blocked,
     cholesky_solve_small,
 )
-from nnx_ppo_tpu.physics.model import FREE, HINGE, Model
+from nnx_ppo_tpu.physics.model import BALL, FREE, HINGE, SLIDE, Model
 from nnx_ppo_tpu.physics.spatial import (
     crf,
     crm,
@@ -63,40 +63,49 @@ def _axis_rotation(axis: jax.Array, angle: jax.Array) -> jax.Array:
     return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
 
 
-def _split_qpos(model: Model, qpos: jax.Array):
-    if model.free_base:
-        return qpos[0:3], qpos[3:7], qpos[7:]
-    return None, None, qpos
-
-
 def fwd_kinematics(model: Model, qpos: jax.Array):
     # (returns Kinematics; annotation omitted — the suite's typeguard
     # hook cannot evaluate local-NamedTuple forward refs on py3.12)
-    base_pos, base_quat, joint_q = _split_qpos(model, qpos)
     X_up, E, p, S = [], [], [], []
-    jq_cursor = 0
+    qslices = model.qpos_slices()
     for i, jtype in enumerate(model.joint_type):
         parent = model.parent[i]
         jpos = jnp.asarray(model.joint_pos[i], jnp.float32)
+        qs, nqi = qslices[i]
+        q_i = qpos[qs : qs + nqi]  # static slice: this joint's qpos
+        if parent < 0:
+            E_par, p_par = jnp.eye(3), jnp.zeros(3)
+        else:
+            E_par, p_par = E[parent], p[parent]
         if jtype == FREE:
-            Ei = quat_to_rot(base_quat)
-            pi = base_pos
+            Ei = quat_to_rot(q_i[3:7])
+            pi = q_i[0:3]
             # Transform from world coords into the base body frame.
             Xi = motion_transform(Ei.T, pi)
             Si = jnp.eye(6)
-        else:
+        elif jtype == HINGE:
             axis = jnp.asarray(model.joint_axis[i], jnp.float32)
-            q_i = joint_q[jq_cursor]
-            jq_cursor += 1
-            R_j = _axis_rotation(axis, q_i)  # parent_R_child
-            if parent < 0:
-                E_par, p_par = jnp.eye(3), jnp.zeros(3)
-            else:
-                E_par, p_par = E[parent], p[parent]
+            R_j = _axis_rotation(axis, q_i[0])  # parent_R_child
             Ei = E_par @ R_j
             pi = p_par + E_par @ jpos
             Xi = motion_transform(R_j.T, jpos)
             Si = jnp.concatenate([axis, jnp.zeros(3)])[:, None]
+        elif jtype == SLIDE:
+            axis = jnp.asarray(model.joint_axis[i], jnp.float32)
+            trans = jpos + axis * q_i[0]  # origin slides along the axis
+            Ei = E_par
+            pi = p_par + E_par @ trans
+            Xi = motion_transform(jnp.eye(3), trans)
+            Si = jnp.concatenate([jnp.zeros(3), axis])[:, None]
+        elif jtype == BALL:
+            R_j = quat_to_rot(q_i)  # parent_R_child (active quaternion)
+            Ei = E_par @ R_j
+            pi = p_par + E_par @ jpos
+            Xi = motion_transform(R_j.T, jpos)
+            # 3 rotational dofs: ω expressed in the child frame.
+            Si = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 3))], axis=0)
+        else:  # pragma: no cover - builder validates joint types
+            raise ValueError(f"unknown joint type {jtype!r}")
         X_up.append(Xi)
         E.append(Ei)
         p.append(pi)
@@ -178,8 +187,9 @@ def mass_matrix(model: Model, kin) -> jax.Array:
 def contact_generalized_forces(
     model: Model, kin, v: list
 ) -> tuple[jax.Array, jax.Array]:
-    """Ground-plane penalty contacts → (generalized force [nv],
-    per-geom normal force [NG] for metrics/termination).
+    """Penalty contacts → (generalized force [nv], per-contact normal
+    force [NG + NP] for metrics/termination: the NG ground contacts
+    first, then the model's sphere-sphere pairs in declaration order).
 
     Contact spatial forces are first accumulated per body, then mapped
     to generalized coordinates with ONE backward chain pass (the same
@@ -187,13 +197,32 @@ def contact_generalized_forces(
     per geom."""
     f_ext: list = [None] * model.n_bodies
     normals = []
+    # World sphere centers (shared by ground and pair contacts).
+    centers = [
+        kin.p[b] + kin.E[b] @ jnp.asarray(model.geom_offset[g], jnp.float32)
+        for g, b in enumerate(model.geom_body)
+    ]
+
+    def point_velocity(b: int, r_local: jax.Array) -> jax.Array:
+        """World velocity of body ``b``'s material point at body-frame
+        offset ``r_local``."""
+        w, vl = v[b][:3], v[b][3:]
+        return kin.E[b] @ (vl + jnp.cross(w, r_local))
+
+    def apply_force(b: int, r_local: jax.Array, f_w: jax.Array) -> None:
+        """Accumulate a world-frame point force as a spatial force at
+        the body origin in body coords — propagated up the chain and
+        projected on each joint subspace by the backward pass below (the
+        same pass RNEA uses; no explicit Jacobian needed)."""
+        f_b = kin.E[b].T @ f_w
+        f_sp = jnp.concatenate([jnp.cross(r_local, f_b), f_b])
+        f_ext[b] = f_sp if f_ext[b] is None else f_ext[b] + f_sp
+
     for g, b in enumerate(model.geom_body):
         offset = jnp.asarray(model.geom_offset[g], jnp.float32)
         radius = jnp.float32(model.geom_radius[g])
-        E_b, p_b = kin.E[b], kin.p[b]
-        x_w = p_b + E_b @ offset  # sphere center, world
-        phi = radius - x_w[2]  # penetration depth (>0 in contact)
-        w, vl = v[b][:3], v[b][3:]
+        E_b = kin.E[b]
+        phi = radius - centers[g][2]  # penetration depth (>0 in contact)
         # Velocity of (and lever arm to) the CONTACT POINT — the
         # sphere's lowest point, one radius below the center in world-z
         # — not the center: a sphere rolling without slipping then has
@@ -203,7 +232,7 @@ def contact_generalized_forces(
         contact_offset = offset + E_b.T @ jnp.array(
             [0.0, 0.0, -1.0], jnp.float32
         ) * radius
-        v_pt = E_b @ (vl + jnp.cross(w, contact_offset))  # world
+        v_pt = point_velocity(b, contact_offset)
         active = phi > 0.0
         fn = jnp.where(
             active,
@@ -219,12 +248,42 @@ def contact_generalized_forces(
         ft = -model.friction * fn * vt / jnp.maximum(vt_norm, 0.1)
         f_w = jnp.concatenate([ft, fn[None]])
         normals.append(fn)
-        # Spatial force at the body origin in body coords, propagated
-        # up the chain and projected on each joint subspace (the same
-        # backward pass RNEA uses — no explicit Jacobian needed).
-        f_b = E_b.T @ f_w
-        f_sp = jnp.concatenate([jnp.cross(contact_offset, f_b), f_b])
-        f_ext[b] = f_sp if f_ext[b] is None else f_ext[b] + f_sp
+        apply_force(b, contact_offset, f_w)
+
+    # Sphere-sphere pairs (explicit static list — self-collision). Same
+    # spring-damper normal + smooth-Coulomb friction model as the ground
+    # contacts, applied equal-and-opposite at the midpoint of the
+    # penetration axis, so pair forces are internal: they conserve the
+    # system's total momentum.
+    for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
+        ba, bb = model.geom_body[ga], model.geom_body[gb]
+        ra = jnp.float32(model.geom_radius[ga])
+        rb = jnp.float32(model.geom_radius[gb])
+        d = centers[gb] - centers[ga]
+        dist = jnp.sqrt(jnp.sum(d**2) + 1e-12)
+        n = d / dist  # contact normal, a → b
+        phi = ra + rb - dist
+        c_w = centers[ga] + n * (ra - 0.5 * phi)  # contact point, world
+        ra_loc = kin.E[ba].T @ (c_w - kin.p[ba])
+        rb_loc = kin.E[bb].T @ (c_w - kin.p[bb])
+        v_rel = point_velocity(bb, rb_loc) - point_velocity(ba, ra_loc)
+        sep = jnp.dot(n, v_rel)  # separation rate (= -φ̇)
+        active = phi > 0.0
+        fn = jnp.where(
+            active,
+            jnp.maximum(
+                0.0,
+                model.contact_stiffness * phi - model.contact_damping * sep,
+            ),
+            0.0,
+        )
+        vt = v_rel - sep * n
+        vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
+        ft = -model.friction * fn * vt / jnp.maximum(vt_norm, 0.1)
+        f_w = fn * n + ft  # on body b; body a gets the opposite
+        normals.append(fn)
+        apply_force(bb, rb_loc, f_w)
+        apply_force(ba, ra_loc, -f_w)
 
     # Single backward pass over the tree (bodies are topologically
     # ordered): project each body's accumulated external force on its
@@ -269,7 +328,7 @@ def forward_dynamics(
     chol: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """``(M + dt·D) q̈ = τ_applied + τ_contact − C`` (D = joint damping);
-    also returns per-geom normal forces.
+    also returns per-contact normal forces (ground geoms, then pairs).
 
     Passing the integration ``dt`` makes the viscous joint-damping term
     implicit (damping force evaluated at the *new* velocity — MuJoCo's
@@ -303,20 +362,45 @@ def forward_dynamics(
 def integrate(
     model: Model, qpos: jax.Array, qvel: jax.Array, qacc: jax.Array, dt: float
 ) -> tuple[jax.Array, jax.Array]:
-    """Semi-implicit Euler: velocity first, then configuration (base
-    orientation via the quaternion exponential map)."""
+    """Semi-implicit Euler: velocity first, then configuration
+    (free-base / ball-joint orientations via the quaternion exponential
+    map). Contiguous hinge/slide spans integrate as ONE vector op —
+    all-hinge models lower to the same fused program as before ball
+    joints existed."""
     qvel_new = qvel + dt * qacc
-    if model.free_base:
-        pos, quat, joint_q = _split_qpos(model, qpos)
-        E = quat_to_rot(quat)
-        omega, v_lin = qvel_new[0:3], qvel_new[3:6]
-        pos_new = pos + dt * (E @ v_lin)
-        quat_new = quat_integrate(quat, omega, dt)
-        joint_new = joint_q + dt * qvel_new[6:]
-        qpos_new = jnp.concatenate([pos_new, quat_new, joint_new])
-    else:
-        qpos_new = qpos + dt * qvel_new
-    return qpos_new, qvel_new
+    quaternion_joints = any(t in (FREE, BALL) for t in model.joint_type)
+    if not quaternion_joints:
+        return qpos + dt * qvel_new, qvel_new
+
+    segments = []
+    qslices, vslices = model.qpos_slices(), model.dof_slices()
+    linear_start: Optional[int] = None  # open hinge/slide run (qpos idx)
+    linear_vstart = 0
+
+    def flush(end_q, end_v):
+        if linear_start is not None:
+            segments.append(
+                qpos[linear_start:end_q]
+                + dt * qvel_new[linear_vstart:end_v]
+            )
+
+    for i, jtype in enumerate(model.joint_type):
+        (qs, nqi), (vs, nvi) = qslices[i], vslices[i]
+        if jtype in (HINGE, SLIDE):
+            if linear_start is None:
+                linear_start, linear_vstart = qs, vs
+            continue
+        flush(qs, vs)
+        linear_start = None
+        q_i, v_i = qpos[qs : qs + nqi], qvel_new[vs : vs + nvi]
+        if jtype == FREE:
+            E = quat_to_rot(q_i[3:7])
+            segments.append(q_i[0:3] + dt * (E @ v_i[3:6]))
+            segments.append(quat_integrate(q_i[3:7], v_i[0:3], dt))
+        else:  # BALL: child-frame relative ω, same convention as FREE
+            segments.append(quat_integrate(q_i, v_i, dt))
+    flush(model.nq, model.nv)
+    return jnp.concatenate(segments), qvel_new
 
 
 def step(

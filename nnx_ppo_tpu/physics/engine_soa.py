@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nnx_ppo_tpu.physics.model import FREE, Model
+from nnx_ppo_tpu.physics.model import FREE, HINGE, Model
 from nnx_ppo_tpu.physics import soa
 
 
@@ -49,6 +49,10 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
     Returns ``(qpos', qvel')`` lane tuples.
     """
     assert model.free_base, "SoA substep supports free-base models"
+    assert all(t in (FREE, HINGE) for t in model.joint_type), (
+        "SoA substep supports hinge joints only; use engine.step for "
+        "slide/ball-joint models"
+    )
     NB = model.n_bodies
     nj = model.nj
     nv = model.nv

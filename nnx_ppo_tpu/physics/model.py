@@ -2,19 +2,26 @@
 
 A :class:`Model` is *static metadata* — plain Python/numpy constants
 baked into the XLA trace — describing a kinematic tree of rigid bodies:
-a free-floating or fixed base plus hinge joints, sphere contact geoms,
-and a ground plane at z = 0. The dynamic state (``qpos``/``qvel``) lives
+a free-floating or fixed base plus hinge/slide/ball joints, sphere
+contact geoms, a ground plane at z = 0, and opt-in sphere-sphere
+(self-)collision pairs. The dynamic state (``qpos``/``qvel``) lives
 in env ``State.data`` pytrees; the engine (``physics/engine.py``) is a
 pure function of (model, state).
 
-Layout (MuJoCo-like):
+Layout (MuJoCo-like): ``qpos``/``qvel`` are the per-joint segments
+concatenated in body order. Per joint type:
 
-* ``qpos``: ``[3 base pos (world), 4 base quat (w,x,y,z), nj hinge
-  angles]`` for a free base, or just ``[nj]`` for a fixed base.
-* ``qvel``: ``[3 base ω (body frame), 3 base v (body frame), nj hinge
-  rates]`` for a free base — the base's 6 velocity dofs are the body's
-  spatial velocity in its own frame (Featherstone-native; no transform
-  on the hot path), or ``[nj]`` for a fixed base.
+* ``free`` (base body only): qpos ``[3 pos (world), 4 quat (w,x,y,z)]``,
+  qvel ``[3 ω (body frame), 3 v (body frame)]`` — the base's 6 velocity
+  dofs are the body's spatial velocity in its own frame
+  (Featherstone-native; no transform on the hot path).
+* ``hinge``: qpos ``[angle]``, qvel ``[rate]`` about ``joint_axis``.
+* ``slide``: qpos ``[displacement]``, qvel ``[rate]`` along
+  ``joint_axis`` (prismatic).
+* ``ball``: qpos ``[4 quat (w,x,y,z)]`` (child orientation relative to
+  the parent frame, active), qvel ``[3 ω]`` (relative angular velocity
+  in the CHILD frame — the joint subspace is ``[I₃; 0]`` in child
+  coords, so ``quat_integrate`` applies directly).
 """
 
 from __future__ import annotations
@@ -26,6 +33,12 @@ import numpy as np
 
 FREE = "free"
 HINGE = "hinge"
+SLIDE = "slide"
+BALL = "ball"
+
+# (qpos width, qvel width) per joint type.
+JOINT_NQ = {FREE: 7, HINGE: 1, SLIDE: 1, BALL: 4}
+JOINT_NV = {FREE: 6, HINGE: 1, SLIDE: 1, BALL: 3}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,8 +46,8 @@ class Model:
     """Static kinematic-tree description. All arrays are numpy constants."""
 
     parent: tuple[int, ...]  # parent body index; -1 = world
-    joint_type: tuple[str, ...]  # FREE (body 0 only) or HINGE
-    joint_axis: np.ndarray  # [NB, 3] hinge axis in child frame
+    joint_type: tuple[str, ...]  # FREE (body 0 only) / HINGE / SLIDE / BALL
+    joint_axis: np.ndarray  # [NB, 3] hinge/slide axis in child frame
     joint_pos: np.ndarray  # [NB, 3] child-frame origin in parent coords (q=0)
     mass: np.ndarray  # [NB]
     com: np.ndarray  # [NB, 3] center of mass in body frame
@@ -44,6 +57,10 @@ class Model:
     geom_radius: np.ndarray  # [NG]
     damping: np.ndarray  # [nv] per-dof viscous joint damping
     armature: np.ndarray  # [nv] added diagonal (rotor) inertia
+    # Sphere-sphere collision pairs (geom indices; explicit static list
+    # — self-collision within the tree, see engine.py).
+    pair_geom_a: tuple[int, ...] = ()
+    pair_geom_b: tuple[int, ...] = ()
     gravity: float = -9.81
 
     # Contact model parameters (penalty/compliant; see engine.py).
@@ -57,15 +74,18 @@ class Model:
 
     @property
     def nj(self) -> int:
+        """Number of HINGE joints (the SoA/Pallas path is hinge-only and
+        keys off this; for free-base + all-hinge models it equals the
+        number of actuated dofs)."""
         return sum(1 for t in self.joint_type if t == HINGE)
 
     @property
     def nv(self) -> int:
-        return (6 if self.joint_type[0] == FREE else 0) + self.nj
+        return sum(JOINT_NV[t] for t in self.joint_type)
 
     @property
     def nq(self) -> int:
-        return (7 if self.joint_type[0] == FREE else 0) + self.nj
+        return sum(JOINT_NQ[t] for t in self.joint_type)
 
     @property
     def free_base(self) -> bool:
@@ -76,7 +96,17 @@ class Model:
         out = []
         cursor = 0
         for t in self.joint_type:
-            n = 6 if t == FREE else 1
+            n = JOINT_NV[t]
+            out.append((cursor, n))
+            cursor += n
+        return out
+
+    def qpos_slices(self) -> list[tuple[int, int]]:
+        """Per-body (start, width) into qpos, in body order."""
+        out = []
+        cursor = 0
+        for t in self.joint_type:
+            n = JOINT_NQ[t]
             out.append((cursor, n))
             cursor += n
         return out
@@ -99,6 +129,8 @@ class ModelBuilder:
         self._geom_radius: list[float] = []
         self._damping: list[float] = []
         self._armature: list[float] = []
+        self._pair_a: list[int] = []
+        self._pair_b: list[int] = []
         self._names: dict[str, int] = {}
 
     def add_body(
@@ -117,10 +149,14 @@ class ModelBuilder:
     ) -> int:
         """Add a body jointed to ``parent`` (None = world; first body only).
 
-        ``inertia`` is a diagonal ``[3]`` or full ``[3, 3]`` rotational
-        inertia about the COM; ``pos`` is the child frame origin in
-        parent coords at the zero configuration.
+        ``joint`` is one of ``hinge``/``slide``/``ball``/``free`` (free
+        only on the base body). ``inertia`` is a diagonal ``[3]`` or full
+        ``[3, 3]`` rotational inertia about the COM; ``pos`` is the child
+        frame origin in parent coords at the zero configuration; ``axis``
+        applies to hinge/slide joints only.
         """
+        if joint not in JOINT_NV:
+            raise ValueError(f"unknown joint type {joint!r}")
         if parent is None:
             if self._parent:
                 raise ValueError("only the first body may attach to the world")
@@ -139,15 +175,34 @@ class ModelBuilder:
         self._com.append(np.asarray(com, np.float64))
         inertia = np.asarray(inertia, np.float64)
         self._inertia.append(np.diag(inertia) if inertia.ndim == 1 else inertia)
-        n_dofs = 6 if joint == FREE else 1
+        n_dofs = JOINT_NV[joint]
         self._damping.extend([damping] * n_dofs)
         self._armature.extend([armature] * n_dofs)
         return idx
 
-    def add_sphere_geom(self, body: str, offset, radius: float) -> None:
+    def add_sphere_geom(self, body: str, offset, radius: float) -> int:
+        """Add a contact sphere to ``body``; returns the geom index (for
+        :meth:`add_collision_pair`). All geoms collide with the ground
+        plane; sphere-sphere contact is opt-in per pair."""
         self._geom_body.append(self._names[body])
         self._geom_offset.append(np.asarray(offset, np.float64))
         self._geom_radius.append(float(radius))
+        return len(self._geom_body) - 1
+
+    def add_collision_pair(self, geom_a: int, geom_b: int) -> None:
+        """Enable sphere-sphere penalty contact between two geoms (by
+        index from :meth:`add_sphere_geom`). Pairs are an explicit static
+        list — no broad-phase — so the trace stays fixed-shape and only
+        plausible self-collisions pay any cost."""
+        ng = len(self._geom_body)
+        if not (0 <= geom_a < ng and 0 <= geom_b < ng):
+            raise ValueError(f"geom index out of range: ({geom_a}, {geom_b})")
+        if geom_a == geom_b:
+            raise ValueError("a geom cannot collide with itself")
+        if self._geom_body[geom_a] == self._geom_body[geom_b]:
+            raise ValueError("collision pair within the same body")
+        self._pair_a.append(geom_a)
+        self._pair_b.append(geom_b)
 
     def body_index(self, name: str) -> int:
         return self._names[name]
@@ -168,6 +223,8 @@ class ModelBuilder:
                 else np.zeros((0, 3))
             ),
             geom_radius=np.asarray(self._geom_radius),
+            pair_geom_a=tuple(self._pair_a),
+            pair_geom_b=tuple(self._pair_b),
             damping=np.asarray(self._damping),
             armature=np.asarray(self._armature),
             gravity=self._gravity,

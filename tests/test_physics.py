@@ -15,11 +15,16 @@ import pytest
 
 from nnx_ppo_tpu.envs.chain import NLinkSwingup
 from nnx_ppo_tpu.physics import ModelBuilder, forward_dynamics, step
-from nnx_ppo_tpu.physics.engine import fwd_kinematics, mass_matrix
-from nnx_ppo_tpu.physics.model import FREE, HINGE
+from nnx_ppo_tpu.physics.engine import (
+    body_velocities,
+    contact_generalized_forces,
+    fwd_kinematics,
+    mass_matrix,
+)
+from nnx_ppo_tpu.physics.model import BALL, FREE, HINGE, SLIDE
 from nnx_ppo_tpu.physics.models import make_quadruped
 from nnx_ppo_tpu.physics.models.quadruped import default_qpos
-from nnx_ppo_tpu.physics.spatial import quat_to_rot
+from nnx_ppo_tpu.physics.spatial import quat_from_axis_angle, quat_to_rot
 
 
 def build_chain_model(n, lengths, masses, damping=0.0, gravity=-9.8):
@@ -190,6 +195,195 @@ class TestFreeBody:
         # Rests at radius minus static penetration fn/k.
         expected_z = 0.1 - 2.0 * 9.81 / 5_000.0
         np.testing.assert_allclose(float(qpos[2]), expected_z, atol=5e-3)
+
+
+class TestSlideJoint:
+    def test_cartpole_matches_analytic(self):
+        """Slide(cart) + hinge(pole) reproduces the classic Barto-Sutton
+        cart-pole accelerations (the analytic dynamics of
+        ``envs/classic.py::_Cartpole``) exactly: the 4/3 factor there is
+        the rod inertia about the pivot, i.e. I_com = m·l²/3 here."""
+        M, m, l, g = 1.0, 0.1, 0.5, 9.8
+        b = ModelBuilder(gravity=-g)
+        b.add_body("cart", joint=SLIDE, axis=(1, 0, 0), mass=M,
+                   inertia=(0.0, 0.0, 0.0))
+        b.add_body("pole", parent="cart", joint=HINGE, axis=(0, 1, 0),
+                   mass=m, com=(0.0, 0.0, l),
+                   inertia=(m * l * l / 3, m * l * l / 3, 0.0))
+        model = b.finalize()
+
+        def analytic(th, thd, force):
+            total = M + m
+            ml = m * l
+            c, s = np.cos(th), np.sin(th)
+            temp = (force + ml * thd**2 * s) / total
+            th_acc = (g * s - c * temp) / (
+                l * (4.0 / 3.0 - m * c * c / total)
+            )
+            return temp - ml * th_acc * c / total, th_acc
+
+        rng = np.random.default_rng(3)
+        for _ in range(4):
+            x, th, xd, thd, force = rng.uniform(-2.0, 2.0, 5)
+            qacc, _ = forward_dynamics(
+                model,
+                jnp.array([x, th], jnp.float32),
+                jnp.array([xd, thd], jnp.float32),
+                jnp.array([force, 0.0], jnp.float32),
+            )
+            x_acc, th_acc = analytic(th, thd, force)
+            np.testing.assert_allclose(
+                np.asarray(qacc), [x_acc, th_acc], rtol=1e-4, atol=1e-4
+            )
+
+    def test_vertical_slide_free_fall(self):
+        """An unforced vertical prismatic dof is plain free fall."""
+        b = ModelBuilder(gravity=-9.81)
+        b.add_body("mass", joint=SLIDE, axis=(0, 0, 1), mass=3.0,
+                   inertia=(0.01, 0.01, 0.01))
+        model = b.finalize()
+        qacc, _ = forward_dynamics(
+            model, jnp.array([0.4]), jnp.array([1.3]), jnp.zeros(1)
+        )
+        np.testing.assert_allclose(float(qacc[0]), -9.81, rtol=1e-5)
+
+
+class TestBallJoint:
+    I_SPH = 2.0 / 5.0 * 1.2 * 0.05**2  # small bob sphere inertia
+
+    def pendulum(self, joint):
+        b = ModelBuilder(gravity=-9.81)
+        kwargs = {} if joint == BALL else {"axis": (0.0, 1.0, 0.0)}
+        b.add_body("bob", joint=joint, mass=1.2, com=(0.0, 0.0, -0.4),
+                   inertia=(self.I_SPH,) * 3, **kwargs)
+        return b.finalize()
+
+    def test_planar_matches_hinge(self):
+        """A ball-joint pendulum started in-plane (ω along the hinge
+        axis) follows the hinge-joint pendulum exactly — two different
+        joint parameterizations of the same motion."""
+        mb, mh = self.pendulum(BALL), self.pendulum(HINGE)
+        th0, thd0 = 0.7, -0.3
+        y_axis = jnp.array([0.0, 1.0, 0.0])
+        qb = quat_from_axis_angle(y_axis, jnp.array(th0))
+        qb, vb, _ = step(mb, qb, jnp.array([0.0, thd0, 0.0]),
+                         jnp.zeros(3), 1e-3, n_substeps=1000)
+        qh, vh, _ = step(mh, jnp.array([th0]), jnp.array([thd0]),
+                         jnp.zeros(1), 1e-3, n_substeps=1000)
+        np.testing.assert_allclose(
+            np.asarray(qb),
+            np.asarray(quat_from_axis_angle(y_axis, qh[0])),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(float(vb[1]), float(vh[0]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(vb[jnp.array([0, 2])]), 0.0, atol=1e-6
+        )
+
+    def test_energy_conservation_3d(self):
+        """Spherical pendulum with out-of-plane velocity (genuinely 3-D
+        motion: precession + nutation) conserves total energy."""
+        model = self.pendulum(BALL)
+        q0 = quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]),
+                                  jnp.array(0.9))
+        v0 = jnp.array([0.2, 1.5, 3.0])
+
+        def energy(q, w):
+            kin = fwd_kinematics(model, q)
+            ke = 0.5 * w @ mass_matrix(model, kin) @ w
+            com_w = quat_to_rot(q) @ jnp.array([0.0, 0.0, -0.4])
+            return ke + 1.2 * 9.81 * com_w[2]
+
+        e0 = float(energy(q0, v0))
+        q1, v1, _ = jax.jit(
+            lambda q, w: step(model, q, w, jnp.zeros(3), 1e-4,
+                              n_substeps=5000)
+        )(q0, v0)
+        e1 = float(energy(q1, v1))
+        assert abs(e1 - e0) < 2e-3 * abs(e0), (e0, e1)
+
+
+class TestSpherePairs:
+    def test_static_penetration_force(self):
+        """Held penetration φ with zero velocity → pair normal force is
+        exactly k·φ, projected with opposite signs so the pair is
+        internal (zero net generalized force on a dof carrying both
+        bodies)."""
+        b = ModelBuilder(gravity=0.0)
+        b.add_body("a", joint=SLIDE, axis=(0, 0, 1), mass=1.0,
+                   inertia=(0.01,) * 3)
+        ga = b.add_sphere_geom("a", (0.0, 0.0, 0.0), 0.1)
+        b.add_body("c", parent="a", joint=SLIDE, axis=(0, 0, 1),
+                   pos=(0.0, 0.0, 0.15), mass=1.0, inertia=(0.01,) * 3)
+        gc = b.add_sphere_geom("c", (0.0, 0.0, 0.0), 0.1)
+        b.add_collision_pair(ga, gc)
+        model = b.finalize(
+            contact_stiffness=1000.0, contact_damping=0.0, friction=0.5
+        )
+        kin = fwd_kinematics(model, jnp.zeros(2))
+        vel = body_velocities(model, kin, jnp.zeros(2))
+        tau, normals = contact_generalized_forces(model, kin, vel)
+        # Centers 0.15 apart, radii sum 0.2 → φ = 0.05, fn = 50. Geom a
+        # also penetrates the ground by 0.1 → 100; geom c is clear.
+        np.testing.assert_allclose(
+            np.asarray(normals), [100.0, 0.0, 50.0], rtol=1e-5
+        )
+        # Child dof feels +50 (pushed up the axis); the base dof carries
+        # both bodies, so the pair cancels and only the ground remains.
+        np.testing.assert_allclose(
+            np.asarray(tau), [100.0, 50.0], rtol=1e-5
+        )
+
+    def test_internal_forces_conserve_momentum(self):
+        """Free-floating base + hinged arm with overlapping spheres, no
+        gravity: the pair contact (with friction and damping) is
+        internal, so total linear momentum is conserved through the
+        collision."""
+        b = ModelBuilder(gravity=0.0)
+        b.add_body("base", joint=FREE, mass=1.0, inertia=(0.02,) * 3)
+        g0 = b.add_sphere_geom("base", (0.0, 0.0, 0.0), 0.12)
+        b.add_body("arm", parent="base", joint=HINGE, axis=(0, 1, 0),
+                   mass=0.8, com=(0.2, 0.0, 0.0), inertia=(0.01,) * 3)
+        g1 = b.add_sphere_geom("arm", (0.2, 0.0, 0.0), 0.12)
+        b.add_collision_pair(g0, g1)
+        model = b.finalize(
+            contact_stiffness=2000.0, contact_damping=20.0, friction=0.6
+        )
+        qpos = jnp.array([0.0, 0.0, 5.0, 1.0, 0.0, 0.0, 0.0, 0.3])
+        qvel = jnp.array([0.1, -0.2, 0.3, 0.5, 0.2, -0.1, 2.0])
+
+        def momentum(qp, qv):
+            kin = fwd_kinematics(model, qp)
+            vel = body_velocities(model, kin, qv)
+            lin = jnp.zeros(3)
+            for i in range(model.n_bodies):
+                w, vl = vel[i][:3], vel[i][3:]
+                com = jnp.asarray(model.com[i], jnp.float32)
+                v_com = kin.E[i] @ (vl + jnp.cross(w, com))
+                lin = lin + model.mass[i] * v_com
+            return lin
+
+        p0 = momentum(qpos, qvel)
+        qp, qv, fn = jax.jit(
+            lambda a, b_: step(model, a, b_, jnp.zeros(7), 5e-4,
+                               n_substeps=800)
+        )(qpos, qvel)
+        assert float(fn[-1]) > 0.0  # the pair really is in contact
+        np.testing.assert_allclose(
+            np.asarray(momentum(qp, qv)), np.asarray(p0), atol=1e-3
+        )
+
+    def test_builder_rejects_bad_pairs(self):
+        b = ModelBuilder()
+        b.add_body("a", joint=SLIDE, axis=(0, 0, 1), mass=1.0)
+        ga = b.add_sphere_geom("a", (0.0, 0.0, 0.0), 0.1)
+        gb = b.add_sphere_geom("a", (0.2, 0.0, 0.0), 0.1)
+        with pytest.raises(ValueError):
+            b.add_collision_pair(ga, ga)  # self
+        with pytest.raises(ValueError):
+            b.add_collision_pair(ga, gb)  # same body
+        with pytest.raises(ValueError):
+            b.add_collision_pair(ga, 7)  # out of range
 
 
 class TestQuadruped:
