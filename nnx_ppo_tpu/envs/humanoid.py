@@ -26,7 +26,7 @@ class HumanoidJoystick(LeggedJoystick):
     observation_size = {"proprio": 36, "command": 3}
     action_size: int = 10
 
-    def __init__(self, **overrides):
+    def __init__(self, self_collision: bool = False, **overrides):
         defaults = dict(
             kp=350.0,
             action_scale=0.4,
@@ -37,7 +37,7 @@ class HumanoidJoystick(LeggedJoystick):
         )
         defaults.update(overrides)
         super().__init__(
-            make_humanoid(),
+            make_humanoid(self_collision=self_collision),
             DEFAULT_JOINT_POSE,
             STAND_HEIGHT,
             **defaults,

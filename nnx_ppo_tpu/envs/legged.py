@@ -59,6 +59,7 @@ class LeggedJoystick:
         min_height: float = 0.12,
         reset_joint_noise: float = 0.1,
         reuse_mass_matrix: bool = False,
+        n_feet: int = 4,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -81,6 +82,10 @@ class LeggedJoystick:
         # at the cost of a small integration approximation. Default off
         # (exact dynamics).
         self.reuse_mass_matrix = reuse_mass_matrix
+        # The first n_feet contact geoms are the feet (model convention:
+        # foot spheres are declared before trunk/auxiliary spheres);
+        # their normal forces feed the contact metrics.
+        self.n_feet = n_feet
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         self.action_size = self.n_act
 
@@ -136,7 +141,19 @@ class LeggedJoystick:
         fallen = jnp.logical_or(up < self.min_up, qpos[2] < self.min_height)
         return fallen.astype(jnp.float32)
 
-    def _state(self, q: dict, action: jax.Array, prev_action: jax.Array) -> State:
+    def _state(
+        self,
+        q: dict,
+        action: jax.Array,
+        prev_action: jax.Array,
+        foot_normals: jax.Array | None = None,
+    ) -> State:
+        # foot_normals: per-foot ground normal forces [n_feet] from the
+        # last physics substep (None at reset → zeros keeps the metric
+        # pytree structure identical between reset and step states,
+        # which tree_where-based auto-reset requires).
+        if foot_normals is None:
+            foot_normals = jnp.zeros(self.n_feet)
         return State(
             data=q,
             obs=self._obs(q),
@@ -146,6 +163,10 @@ class LeggedJoystick:
             metrics={
                 "trunk_height": q["qpos"][2],
                 "speed": jnp.linalg.norm(q["qvel"][3:5]),
+                "feet_in_contact": jnp.sum(
+                    (foot_normals > 0.0).astype(jnp.float32)
+                ),
+                "contact_force": jnp.sum(foot_normals),
             },
         )
 
@@ -256,13 +277,13 @@ class LeggedJoystick:
             # target (P explicit; D implicit via model joint damping).
             tau_j = self.kp * (target - qp[7:])
             tau = jnp.concatenate([jnp.zeros(6), tau_j])
-            qacc, _ = forward_dynamics(
+            qacc, normals = forward_dynamics(
                 self.model, qp, qv, tau, dt=self.physics_dt, chol=chol
             )
             qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
-            return (qp, qv), None
+            return (qp, qv), normals[: self.n_feet]
 
-        (qpos, qvel), _ = jax.lax.scan(
+        (qpos, qvel), foot_normals = jax.lax.scan(
             substep, (q["qpos"], q["qvel"]), None, length=self.n_substeps
         )
         resample_key, cmd_key, carry_key = jax.random.split(q["key"], 3)
@@ -277,4 +298,6 @@ class LeggedJoystick:
             "key": carry_key,
             "prev_action": action,
         }
-        return self._state(new_q, action, q["prev_action"])
+        return self._state(
+            new_q, action, q["prev_action"], foot_normals=foot_normals[-1]
+        )

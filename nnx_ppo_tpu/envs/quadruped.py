@@ -30,7 +30,7 @@ class QuadrupedJoystick(LeggedJoystick):
     observation_size = {"proprio": 42, "command": 3}
     action_size: int = 12
 
-    def __init__(self, **overrides):
+    def __init__(self, self_collision: bool = False, **overrides):
         defaults = dict(
             kp=60.0,
             action_scale=0.5,
@@ -38,7 +38,7 @@ class QuadrupedJoystick(LeggedJoystick):
         )
         defaults.update(overrides)
         super().__init__(
-            make_quadruped(),
+            make_quadruped(self_collision=self_collision),
             DEFAULT_JOINT_POSE,
             STAND_HEIGHT,
             **defaults,

@@ -39,7 +39,11 @@ def make_humanoid(
     contact_stiffness: float = 12_000.0,
     contact_damping: float = 250.0,
     friction: float = 0.9,
+    self_collision: bool = False,
 ) -> Model:
+    """Build the biped model. ``self_collision=True`` adds the four
+    left-vs-right foot sphere pairs (heel/toe cross product) so crossing
+    steps collide instead of interpenetrating."""
     b = ModelBuilder(gravity=gravity)
     b.add_body(
         "trunk",
@@ -48,6 +52,7 @@ def make_humanoid(
         com=(0.0, 0.0, 0.25),  # torso mass above the hips
         inertia=(0.9, 0.8, 0.25),
     )
+    foot_geoms: dict[str, tuple[int, int]] = {}
     for side, sign in (("L", 1.0), ("R", -1.0)):
         b.add_body(
             f"{side}_hip",
@@ -97,10 +102,12 @@ def make_humanoid(
             armature=0.01,
         )
         # Heel + toe spheres for pitch-stable stance (symmetric lever).
-        b.add_sphere_geom(f"{side}_foot", (-FOOT_LEN / 2, 0.0, -0.02),
-                          FOOT_RADIUS)
-        b.add_sphere_geom(f"{side}_foot", (FOOT_LEN / 2, 0.0, -0.02),
-                          FOOT_RADIUS)
+        foot_geoms[side] = (
+            b.add_sphere_geom(f"{side}_foot", (-FOOT_LEN / 2, 0.0, -0.02),
+                              FOOT_RADIUS),
+            b.add_sphere_geom(f"{side}_foot", (FOOT_LEN / 2, 0.0, -0.02),
+                              FOOT_RADIUS),
+        )
     for side, sign in (("L", 1.0), ("R", -1.0)):
         b.add_body(
             f"{side}_arm",
@@ -117,6 +124,10 @@ def make_humanoid(
     # Trunk/head spheres: fall contact + termination proxy.
     b.add_sphere_geom("trunk", (0.0, 0.0, 0.55), 0.1)
     b.add_sphere_geom("trunk", (0.0, 0.0, 0.0), 0.09)
+    if self_collision:
+        for ga in foot_geoms["L"]:
+            for gb in foot_geoms["R"]:
+                b.add_collision_pair(ga, gb)
     return b.finalize(
         contact_stiffness=contact_stiffness,
         contact_damping=contact_damping,

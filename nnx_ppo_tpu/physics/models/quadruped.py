@@ -47,7 +47,12 @@ def make_quadruped(
     contact_stiffness: float = 6_000.0,
     contact_damping: float = 120.0,
     friction: float = 0.8,
+    self_collision: bool = False,
 ) -> Model:
+    """Build the Go1-class model. ``self_collision=True`` adds
+    foot-vs-foot sphere pairs (left-right and same-side front-rear) so
+    crossed-leg gaits feel contact instead of interpenetrating — the
+    static pair list keeps the per-step cost at 4 extra sphere checks."""
     b = ModelBuilder(gravity=gravity)
     b.add_body(
         "trunk",
@@ -55,6 +60,7 @@ def make_quadruped(
         mass=5.2,
         inertia=(0.024, 0.064, 0.072),  # Go1 trunk ballpark
     )
+    foot_geoms: dict[str, int] = {}
     for leg, (x, y) in _LEG_POSITIONS.items():
         side = 1.0 if y > 0 else -1.0
         # Abduction: roll about x at the hip attachment.
@@ -96,13 +102,16 @@ def make_quadruped(
             damping=2.0,
             armature=0.01,
         )
-        b.add_sphere_geom(
+        foot_geoms[leg] = b.add_sphere_geom(
             f"{leg}_shank", (0.0, 0.0, -SHANK_LEN), FOOT_RADIUS
         )
     # Trunk corner spheres: belly-scrape penalty + fall detection.
     for cx in (_HIP_X, -_HIP_X):
         for cy in (_HIP_Y, -_HIP_Y):
             b.add_sphere_geom("trunk", (cx, cy, -0.04), 0.04)
+    if self_collision:
+        for a, c in (("FR", "FL"), ("RR", "RL"), ("FR", "RR"), ("FL", "RL")):
+            b.add_collision_pair(foot_geoms[a], foot_geoms[c])
     return b.finalize(
         contact_stiffness=contact_stiffness,
         contact_damping=contact_damping,

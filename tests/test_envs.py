@@ -262,6 +262,41 @@ class TestQuadrupedJoystick:
             done = max(done, float(state.done))
         assert done == 1.0
 
+    def test_contact_metrics_reflect_stance(self):
+        """Standing still, all four feet carry the robot: the contact
+        metrics report 4 feet in contact and a total normal force near
+        the robot's weight (reset states report the same metric keys
+        with zeros so auto-reset keeps a uniform pytree)."""
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        env = QuadrupedJoystick()
+        state = env.reset(jax.random.key(0))
+        assert float(state.metrics["feet_in_contact"]) == 0.0
+        assert float(state.metrics["contact_force"]) == 0.0
+        step = jax.jit(env.step)
+        for _ in range(25):  # settle 0.5 s
+            state = step(state, jnp.zeros(12))
+        assert float(state.metrics["feet_in_contact"]) == 4.0
+        weight = float(np.sum(env.model.mass)) * 9.81
+        np.testing.assert_allclose(
+            float(state.metrics["contact_force"]), weight, rtol=0.25
+        )
+
+    def test_self_collision_variant_steps(self):
+        """The self-collision model (4 foot-pair contacts) satisfies the
+        same protocol and stays standing — the pairs are separated in
+        nominal stance, so they must not inject forces."""
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        env = QuadrupedJoystick(self_collision=True)
+        assert len(env.model.pair_geom_a) == 4
+        state = env.reset(jax.random.key(0))
+        step = jax.jit(env.step)
+        for _ in range(25):
+            state = step(state, jnp.zeros(12))
+        assert float(state.data["qpos"][2]) > 0.15
+        assert not bool(state.done)
+
     def test_ppo_step_runs(self):
         from nnx_ppo_tpu.envs import QuadrupedJoystick
 
