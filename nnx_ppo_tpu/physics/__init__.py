@@ -9,11 +9,20 @@ from nnx_ppo_tpu.physics.engine import (
     mass_matrix,
     step,
 )
-from nnx_ppo_tpu.physics.model import FREE, HINGE, Model, ModelBuilder
+from nnx_ppo_tpu.physics.model import (
+    BALL,
+    FREE,
+    HINGE,
+    SLIDE,
+    Model,
+    ModelBuilder,
+)
 
 __all__ = [
+    "BALL",
     "FREE",
     "HINGE",
+    "SLIDE",
     "Model",
     "ModelBuilder",
     "bias_forces",
