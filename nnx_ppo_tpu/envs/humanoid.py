@@ -26,7 +26,12 @@ class HumanoidJoystick(LeggedJoystick):
     observation_size = {"proprio": 36, "command": 3}
     action_size: int = 10
 
-    def __init__(self, self_collision: bool = False, **overrides):
+    def __init__(
+        self,
+        self_collision: bool = False,
+        joint_limits: bool = False,
+        **overrides,
+    ):
         defaults = dict(
             kp=350.0,
             action_scale=0.4,
@@ -37,7 +42,9 @@ class HumanoidJoystick(LeggedJoystick):
         )
         defaults.update(overrides)
         super().__init__(
-            make_humanoid(self_collision=self_collision),
+            make_humanoid(
+                self_collision=self_collision, joint_limits=joint_limits
+            ),
             DEFAULT_JOINT_POSE,
             STAND_HEIGHT,
             **defaults,

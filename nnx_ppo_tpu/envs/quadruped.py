@@ -30,7 +30,12 @@ class QuadrupedJoystick(LeggedJoystick):
     observation_size = {"proprio": 42, "command": 3}
     action_size: int = 12
 
-    def __init__(self, self_collision: bool = False, **overrides):
+    def __init__(
+        self,
+        self_collision: bool = False,
+        joint_limits: bool = False,
+        **overrides,
+    ):
         defaults = dict(
             kp=60.0,
             action_scale=0.5,
@@ -38,7 +43,9 @@ class QuadrupedJoystick(LeggedJoystick):
         )
         defaults.update(overrides)
         super().__init__(
-            make_quadruped(self_collision=self_collision),
+            make_quadruped(
+                self_collision=self_collision, joint_limits=joint_limits
+            ),
             DEFAULT_JOINT_POSE,
             STAND_HEIGHT,
             **defaults,

@@ -6,6 +6,7 @@ from nnx_ppo_tpu.physics.engine import (
     forward_dynamics,
     fwd_kinematics,
     integrate,
+    limit_torques,
     mass_matrix,
     step,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "forward_dynamics",
     "fwd_kinematics",
     "integrate",
+    "limit_torques",
     "mass_matrix",
     "step",
 ]

@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nnx_ppo_tpu.ops.linalg import (
     cholesky_backsub,
@@ -305,6 +306,45 @@ def contact_generalized_forces(
     return tau, jnp.zeros((0,))
 
 
+def limit_torques(
+    model: Model, qpos: jax.Array, qvel: jax.Array
+) -> Optional[jax.Array]:
+    """Joint-range penalty torques ``[nv]`` (spring-damper on the
+    violation, damping active only while violating), or ``None`` when no
+    dof is limited — models without limits pay zero ops.
+
+    Limits apply to 1-dof (hinge/slide) joints. The per-dof qpos values
+    are fetched with ONE static gather (qpos and qvel layouts diverge
+    once quaternion joints exist); ±inf bounds fold to zero force, so
+    the whole term is a handful of fused elementwise ops.
+    """
+    lower, upper = model.joint_lower, model.joint_upper
+    if lower.size == 0 or not (
+        np.isfinite(lower).any() or np.isfinite(upper).any()
+    ):
+        return None
+    qpos_idx = np.zeros(model.nv, np.int32)
+    limited = np.zeros(model.nv, np.float32)
+    for i, jtype in enumerate(model.joint_type):
+        (qs, _), (vs, _) = model.qpos_slices()[i], model.dof_slices()[i]
+        if jtype in (HINGE, SLIDE):
+            qpos_idx[vs] = qs
+            limited[vs] = float(
+                np.isfinite(lower[vs]) or np.isfinite(upper[vs])
+            )
+    q = qpos[jnp.asarray(qpos_idx)]
+    lo = jnp.asarray(lower, jnp.float32)
+    hi = jnp.asarray(upper, jnp.float32)
+    below = jnp.maximum(lo - q, 0.0)  # -inf bound → 0
+    above = jnp.maximum(q - hi, 0.0)  # +inf bound → 0
+    violating = ((below + above) > 0.0).astype(jnp.float32)
+    tau = (
+        model.limit_stiffness * (below - above)
+        - model.limit_damping * violating * qvel
+    )
+    return tau * jnp.asarray(limited)
+
+
 def mass_matrix_factor(model: Model, qpos: jax.Array, *, dt: float) -> jax.Array:
     """Lower-Cholesky factor of ``M(q) + dt·D`` — for callers that hold
     the factor across several substeps (see ``forward_dynamics``
@@ -350,6 +390,9 @@ def forward_dynamics(
     C = bias_forces(model, kin, qvel, v)
     tau_c, normals = contact_generalized_forces(model, kin, v)
     rhs = tau_applied + tau_c - C
+    tau_l = limit_torques(model, qpos, qvel)
+    if tau_l is not None:
+        rhs = rhs + tau_l
     if chol is not None:
         return cholesky_backsub(chol, rhs), normals
     M = mass_matrix(model, kin)

@@ -40,10 +40,15 @@ def make_humanoid(
     contact_damping: float = 250.0,
     friction: float = 0.9,
     self_collision: bool = False,
+    joint_limits: bool = False,
 ) -> Model:
     """Build the biped model. ``self_collision=True`` adds the four
     left-vs-right foot sphere pairs (heel/toe cross product) so crossing
-    steps collide instead of interpenetrating."""
+    steps collide instead of interpenetrating. ``joint_limits=True``
+    enforces anthropomorphic joint ranges (hip roll ±0.5, hip pitch
+    [-2.0, 1.0], knee [-0.05, 2.4], ankle ±0.9, shoulder ±1.6 rad) via
+    the engine's spring-damper range penalty."""
+    lim = (lambda lo, hi: (lo, hi)) if joint_limits else (lambda lo, hi: None)
     b = ModelBuilder(gravity=gravity)
     b.add_body(
         "trunk",
@@ -64,6 +69,7 @@ def make_humanoid(
             inertia=(0.005, 0.005, 0.005),
             damping=4.0,
             armature=0.02,
+            limit=lim(-0.5, 0.5),
         )
         b.add_body(
             f"{side}_thigh",
@@ -76,6 +82,7 @@ def make_humanoid(
             inertia=(0.08, 0.08, 0.01),
             damping=4.0,
             armature=0.02,
+            limit=lim(-2.0, 1.0),
         )
         b.add_body(
             f"{side}_shank",
@@ -88,6 +95,7 @@ def make_humanoid(
             inertia=(0.04, 0.04, 0.005),
             damping=4.0,
             armature=0.02,
+            limit=lim(-0.05, 2.4),
         )
         b.add_body(
             f"{side}_foot",
@@ -100,6 +108,7 @@ def make_humanoid(
             inertia=(0.002, 0.004, 0.004),
             damping=2.0,
             armature=0.01,
+            limit=lim(-0.9, 0.9),
         )
         # Heel + toe spheres for pitch-stable stance (symmetric lever).
         foot_geoms[side] = (
@@ -120,6 +129,7 @@ def make_humanoid(
             inertia=(0.05, 0.05, 0.005),
             damping=2.0,
             armature=0.01,
+            limit=lim(-1.6, 1.6),
         )
     # Trunk/head spheres: fall contact + termination proxy.
     b.add_sphere_geom("trunk", (0.0, 0.0, 0.55), 0.1)

@@ -48,11 +48,16 @@ def make_quadruped(
     contact_damping: float = 120.0,
     friction: float = 0.8,
     self_collision: bool = False,
+    joint_limits: bool = False,
 ) -> Model:
     """Build the Go1-class model. ``self_collision=True`` adds
     foot-vs-foot sphere pairs (left-right and same-side front-rear) so
     crossed-leg gaits feel contact instead of interpenetrating — the
-    static pair list keeps the per-step cost at 4 extra sphere checks."""
+    static pair list keeps the per-step cost at 4 extra sphere checks.
+    ``joint_limits=True`` enforces Go1-like joint ranges (abduction
+    ±0.86, hip [-0.69, 3.9], knee [-2.82, -0.89] rad) with the engine's
+    spring-damper range penalty (``engine.limit_torques``)."""
+    lim = (lambda lo, hi: (lo, hi)) if joint_limits else (lambda lo, hi: None)
     b = ModelBuilder(gravity=gravity)
     b.add_body(
         "trunk",
@@ -75,6 +80,7 @@ def make_quadruped(
             inertia=(0.0007, 0.0007, 0.0007),
             damping=2.0,
             armature=0.01,
+            limit=lim(-0.86, 0.86),
         )
         # Hip pitch: thigh swings about y; thigh extends downward.
         b.add_body(
@@ -88,6 +94,7 @@ def make_quadruped(
             inertia=_rod_inertia(0.9, THIGH_LEN),
             damping=2.0,
             armature=0.01,
+            limit=lim(-0.69, 3.9),
         )
         # Knee pitch at the thigh end; shank extends downward.
         b.add_body(
@@ -101,6 +108,7 @@ def make_quadruped(
             inertia=_rod_inertia(0.15, SHANK_LEN, radius=0.012),
             damping=2.0,
             armature=0.01,
+            limit=lim(-2.82, -0.89),
         )
         foot_geoms[leg] = b.add_sphere_geom(
             f"{leg}_shank", (0.0, 0.0, -SHANK_LEN), FOOT_RADIUS

@@ -386,6 +386,81 @@ class TestSpherePairs:
             b.add_collision_pair(ga, 7)  # out of range
 
 
+class TestJointLimits:
+    def limited_pendulum(self, limit):
+        b = ModelBuilder(gravity=-9.81)
+        b.add_body("rod", joint=HINGE, axis=(0.0, 1.0, 0.0), mass=1.0,
+                   com=(0.0, 0.0, -0.3), inertia=(0.03, 0.03, 0.001),
+                   damping=0.5, limit=limit)
+        return b.finalize()
+
+    def test_unlimited_model_pays_nothing(self):
+        from nnx_ppo_tpu.physics import limit_torques
+
+        model = self.limited_pendulum(None)
+        assert limit_torques(model, jnp.zeros(1), jnp.zeros(1)) is None
+
+    def test_static_violation_torque(self):
+        from nnx_ppo_tpu.physics import limit_torques
+
+        model = self.limited_pendulum((-0.5, 0.5))
+        tau = limit_torques(model, jnp.array([0.7]), jnp.zeros(1))
+        np.testing.assert_allclose(
+            float(tau[0]), -model.limit_stiffness * 0.2, rtol=1e-5
+        )
+        tau = limit_torques(model, jnp.array([-0.6]), jnp.zeros(1))
+        np.testing.assert_allclose(
+            float(tau[0]), model.limit_stiffness * 0.1, rtol=1e-5
+        )
+        # Inside the range: exactly zero (damping gated by violation).
+        tau = limit_torques(model, jnp.array([0.3]), jnp.array([5.0]))
+        assert float(tau[0]) == 0.0
+
+    def test_swing_settles_at_limit(self):
+        """A pendulum swung hard against its range comes to rest at the
+        spring equilibrium just past the limit instead of swinging
+        through."""
+        model = self.limited_pendulum((-0.4, 0.4))
+        qpos, qvel = jnp.array([0.0]), jnp.array([6.0])
+        qpos, qvel, _ = jax.jit(
+            lambda qp, qv: step(model, qp, qv, jnp.zeros(1), 1e-3,
+                                n_substeps=4000)
+        )(qpos, qvel)
+        assert abs(float(qvel[0])) < 0.05  # settled
+        # Gravity pulls back toward hanging; rest is within the range or
+        # a hair past the limit (penalty-spring compliance), never deep.
+        assert -0.45 < float(qpos[0]) < 0.45, float(qpos[0])
+
+    def test_limit_respected_in_quadruped(self):
+        """With joint_limits=True, driving the knees hard past their
+        range stalls near the bound; without limits the same command
+        folds much further."""
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        action = jnp.tile(jnp.array([0.0, 0.0, 1.0]), 4)  # extend knees
+        knees = {}
+        for limited in (False, True):
+            env = QuadrupedJoystick(joint_limits=limited, kp=200.0,
+                                    action_scale=1.5)
+            state = env.reset(jax.random.key(0))
+            stepf = jax.jit(env.step)
+            for _ in range(25):
+                state = stepf(state, action)
+            knees[limited] = float(state.data["qpos"][9])  # FR knee
+        # Knee range is [-2.82, -0.89]; the PD target (-1.6 + 1.5) sits
+        # far above the -0.89 bound.
+        assert knees[True] < -0.80, knees
+        assert knees[False] > knees[True] + 0.2, knees
+
+    def test_builder_rejects_bad_limits(self):
+        b = ModelBuilder()
+        with pytest.raises(ValueError):
+            b.add_body("x", joint=BALL, mass=1.0, limit=(-1.0, 1.0))
+        b2 = ModelBuilder()
+        with pytest.raises(ValueError):
+            b2.add_body("x", joint=HINGE, mass=1.0, limit=(1.0, -1.0))
+
+
 class TestQuadruped:
     def test_stands_under_pd_control(self):
         """PD control toward the nominal pose keeps the trunk near
