@@ -133,7 +133,13 @@ def _heavy_physics_8192():
     return env, net, PPOConfig(n_envs=8192, rollout_length=20)
 
 
-def _legged_physics(env_name, n_envs=2048, reuse_mass_matrix=False):
+def _legged_physics(
+    env_name,
+    n_envs=2048,
+    reuse_mass_matrix=False,
+    self_collision=False,
+    joint_limits=False,
+):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
     # workload classes from BASELINE.md on the in-repo MJX-equivalent
@@ -144,7 +150,12 @@ def _legged_physics(env_name, n_envs=2048, reuse_mass_matrix=False):
     env_cls = {"quadruped": QuadrupedJoystick,
                "humanoid": HumanoidJoystick}[env_name]
     env = EpisodeWrapper(
-        env_cls(reuse_mass_matrix=reuse_mass_matrix), max_len=500
+        env_cls(
+            reuse_mass_matrix=reuse_mass_matrix,
+            self_collision=self_collision,
+            joint_limits=joint_limits,
+        ),
+        max_len=500,
     )
     proprio = env_cls.observation_size["proprio"]
     n_act = env_cls.action_size
@@ -222,6 +233,15 @@ CONFIGS = {
     ),
     "humanoid_2048_fastM": functools.partial(
         _legged_physics, "humanoid", reuse_mass_matrix=True
+    ),
+    # Full-featured contact model: foot self-collision pairs + joint
+    # range stops on top of the ground contacts — measures the marginal
+    # cost of the round-2 engine extensions.
+    "quadruped_2048_full": functools.partial(
+        _legged_physics, "quadruped", self_collision=True, joint_limits=True
+    ),
+    "humanoid_2048_full": functools.partial(
+        _legged_physics, "humanoid", self_collision=True, joint_limits=True
     ),
     "population_graph": _population_graph,
 }

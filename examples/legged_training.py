@@ -79,6 +79,10 @@ def main() -> None:
                         help="hold the Cholesky factor of M over each "
                              "control step (~1.6x faster, tiny "
                              "integration approximation)")
+    parser.add_argument("--full-contact", action="store_true",
+                        help="enable foot self-collision pairs and "
+                             "joint-range stops (the full contact model; "
+                             "~13%% slower)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -87,12 +91,18 @@ def main() -> None:
 
     env_cls = QuadrupedJoystick if args.env == "quadruped" else HumanoidJoystick
     if args.out is None:
+        suffix = "_full" if args.full_contact else ""
         args.out = os.path.join(
             os.path.dirname(__file__),
-            f"../benchmarks/results/{args.env}_curve.csv",
+            f"../benchmarks/results/{args.env}{suffix}_curve.csv",
         )
     env = EpisodeWrapper(
-        env_cls(reuse_mass_matrix=args.fast_mass_matrix), max_len=500
+        env_cls(
+            reuse_mass_matrix=args.fast_mass_matrix,
+            self_collision=args.full_contact,
+            joint_limits=args.full_contact,
+        ),
+        max_len=500,
     )
     net = make_net(env_cls, jax.random.key(args.seed))
     cfg = TrainConfig(
