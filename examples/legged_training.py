@@ -82,7 +82,8 @@ def main() -> None:
     parser.add_argument("--full-contact", action="store_true",
                         help="enable foot self-collision pairs and "
                              "joint-range stops (the full contact model; "
-                             "~13%% slower)")
+                             "~13%% slower on the quadruped, ~27%% on "
+                             "the humanoid)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:

@@ -82,9 +82,10 @@ class LeggedJoystick:
         # at the cost of a small integration approximation. Default off
         # (exact dynamics).
         self.reuse_mass_matrix = reuse_mass_matrix
-        # The first n_feet contact geoms are the feet (model convention:
-        # foot spheres are declared before trunk/auxiliary spheres);
-        # their normal forces feed the contact metrics.
+        # The first n_feet contact geoms are the foot spheres (model
+        # convention: feet are declared before trunk/auxiliary spheres);
+        # their normal forces feed the contact metrics. Both in-repo
+        # models have 4: one per foot (quadruped), heel+toe × 2 (biped).
         self.n_feet = n_feet
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         self.action_size = self.n_act
@@ -163,7 +164,10 @@ class LeggedJoystick:
             metrics={
                 "trunk_height": q["qpos"][2],
                 "speed": jnp.linalg.norm(q["qvel"][3:5]),
-                "feet_in_contact": jnp.sum(
+                # Count of foot contact SPHERES touching the ground (the
+                # quadruped has one per foot; the biped has heel+toe per
+                # foot, so flat two-footed stance reads 4.0).
+                "foot_contacts": jnp.sum(
                     (foot_normals > 0.0).astype(jnp.float32)
                 ),
                 "contact_force": jnp.sum(foot_normals),

@@ -325,8 +325,9 @@ def limit_torques(
         return None
     qpos_idx = np.zeros(model.nv, np.int32)
     limited = np.zeros(model.nv, np.float32)
+    qslices, vslices = model.qpos_slices(), model.dof_slices()
     for i, jtype in enumerate(model.joint_type):
-        (qs, _), (vs, _) = model.qpos_slices()[i], model.dof_slices()[i]
+        (qs, _), (vs, _) = qslices[i], vslices[i]
         if jtype in (HINGE, SLIDE):
             qpos_idx[vs] = qs
             limited[vs] = float(

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nnx_ppo_tpu.physics.model import FREE, HINGE, Model
 from nnx_ppo_tpu.physics import soa
@@ -27,8 +28,6 @@ def _const3(x):
 
 
 def _const9(M):
-    import numpy as np
-
     M = np.asarray(M, dtype=float)
     return tuple(float(v) for v in M.reshape(-1))
 
@@ -53,6 +52,17 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
         "SoA substep supports hinge joints only; use engine.step for "
         "slide/ball-joint models"
     )
+    # Feature guard: the SoA body implements ground contacts only. A
+    # model with joint limits or collision pairs would pass the
+    # joint-type check but silently lose those forces — refuse instead
+    # of diverging from the generic engine.
+    assert not model.pair_geom_a, (
+        "SoA substep does not implement sphere-sphere collision pairs"
+    )
+    assert model.joint_lower.size == 0 or not (
+        np.isfinite(model.joint_lower).any()
+        or np.isfinite(model.joint_upper).any()
+    ), "SoA substep does not implement joint-range limits"
     NB = model.n_bodies
     nj = model.nj
     nv = model.nv

@@ -271,12 +271,12 @@ class TestQuadrupedJoystick:
 
         env = QuadrupedJoystick()
         state = env.reset(jax.random.key(0))
-        assert float(state.metrics["feet_in_contact"]) == 0.0
+        assert float(state.metrics["foot_contacts"]) == 0.0
         assert float(state.metrics["contact_force"]) == 0.0
         step = jax.jit(env.step)
         for _ in range(25):  # settle 0.5 s
             state = step(state, jnp.zeros(12))
-        assert float(state.metrics["feet_in_contact"]) == 4.0
+        assert float(state.metrics["foot_contacts"]) == 4.0
         weight = float(np.sum(env.model.mass)) * 9.81
         np.testing.assert_allclose(
             float(state.metrics["contact_force"]), weight, rtol=0.25

@@ -109,3 +109,24 @@ def test_pallas_kernel_interpret_matches_soa():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(ref_qv),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_soa_refuses_unsupported_contact_features():
+    """The SoA body implements ground contacts only; a model with joint
+    limits or collision pairs must be refused, not silently diverge from
+    the generic engine."""
+    model = make_quadruped(joint_limits=True)
+    qpos = jnp.asarray(qd.default_qpos(model))
+    args = (
+        tuple(qpos),
+        tuple(jnp.zeros(model.nv)),
+        tuple(qpos[7:]),
+        None,
+        60.0,
+        2e-3,
+    )
+    with pytest.raises(AssertionError, match="joint-range limits"):
+        substep_soa(model, *args)
+    model = make_quadruped(self_collision=True)
+    with pytest.raises(AssertionError, match="collision pairs"):
+        substep_soa(model, *args)
