@@ -179,6 +179,18 @@ def _legged_physics(
     )
 
 
+def _reacher_4096():
+    # Manipulation family: ball-joint shoulder arm, torque control.
+    from nnx_ppo_tpu.envs import ArmReacher
+
+    env = EpisodeWrapper(ArmReacher(), max_len=150)
+    net = make_mlp_actor_critic(
+        env.observation_size, env.action_size, [128, 128], [256, 256],
+        jax.random.key(0), entropy_weight=2e-3, normalize_obs=True,
+    )
+    return env, net, PPOConfig(n_envs=4096, rollout_length=20)
+
+
 def _population_graph():
     # Recurrent population graph actor (round-1 measurement setup:
     # sensor -> core(64, tanh) with a delay-1 self-loop -> motor).
@@ -244,6 +256,7 @@ CONFIGS = {
         _legged_physics, "humanoid", self_collision=True, joint_limits=True
     ),
     "population_graph": _population_graph,
+    "reacher_4096": _reacher_4096,
 }
 
 

@@ -1,0 +1,131 @@
+"""3-D target reaching with a ball-shoulder manipulator.
+
+The manipulation env family (alongside locomotion) on the in-repo
+rigid-body engine — the reference framework is substrate-agnostic
+(any ``RLEnv``; SURVEY §2.3/§2.6), so this fills the workload class its
+MJX users get from manipulator tasks. Torque control (no PD: a
+quaternion joint has no scalar position error), dense exp-distance
+reward, per-episode targets drawn from the reachable shell using the
+per-env key carried in ``State.data``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nnx_ppo_tpu.envs.types import State
+from nnx_ppo_tpu.physics.engine import fwd_kinematics, step
+from nnx_ppo_tpu.physics.models.arm import (
+    EE_OFFSET,
+    FORE_LEN,
+    SHOULDER_HEIGHT,
+    UPPER_LEN,
+    default_qpos,
+    make_arm,
+)
+
+
+class ArmReacher:
+    """Drive the end effector to a 3-D target and hold it there.
+
+    Observation ``[18]``: shoulder quaternion (4) ‖ shoulder ω (3) ‖
+    elbow angle/rate (2) ‖ end-effector position (3) ‖ target (3) ‖
+    target − end-effector (3), positions relative to the shoulder.
+    Action ``[4]``: torques (shoulder x/y/z in the child frame, elbow),
+    scaled by ``torque_scale``. Reward: ``exp(-(d/σ)²) − ctrl penalty``.
+    """
+
+    observation_size: int = 18
+    action_size: int = 4
+
+    def __init__(
+        self,
+        torque_scale: float = 6.0,
+        sigma: float = 0.15,
+        ctrl_cost: float = 0.01,
+        control_dt: float = 0.02,
+        n_substeps: int = 4,
+        target_radius: tuple[float, float] = (0.25, 0.6),
+    ):
+        self.model = make_arm()
+        self.torque_scale = torque_scale
+        self.sigma = sigma
+        self.ctrl_cost = ctrl_cost
+        self.control_dt = control_dt
+        self.n_substeps = n_substeps
+        self.physics_dt = control_dt / n_substeps
+        self.target_radius = target_radius
+        self.reach = UPPER_LEN + FORE_LEN
+
+    # -- helpers ----------------------------------------------------------
+
+    def _ee_pos(self, qpos: jax.Array) -> jax.Array:
+        """End-effector position relative to the shoulder anchor."""
+        kin = fwd_kinematics(self.model, qpos)
+        tip_world = kin.p[1] + kin.E[1] @ jnp.asarray(EE_OFFSET, jnp.float32)
+        return tip_world - jnp.array([0.0, 0.0, SHOULDER_HEIGHT])
+
+    def _sample_target(self, key: jax.Array) -> jax.Array:
+        k_dir, k_rad = jax.random.split(key)
+        d = jax.random.normal(k_dir, (3,))
+        d = d / jnp.linalg.norm(d)
+        lo, hi = self.target_radius
+        r = jax.random.uniform(k_rad, (), minval=lo, maxval=hi)
+        return r * d
+
+    def _obs(self, q: dict) -> jax.Array:
+        qpos, qvel = q["qpos"], q["qvel"]
+        ee = self._ee_pos(qpos)
+        return jnp.concatenate(
+            [
+                qpos[0:4],  # shoulder quaternion
+                qvel[0:3],  # shoulder ω (child frame)
+                qpos[4:5],  # elbow angle
+                qvel[3:4],  # elbow rate
+                ee,
+                q["target"],
+                q["target"] - ee,
+            ]
+        )
+
+    def _state(self, q: dict, action: jax.Array) -> State:
+        ee = self._ee_pos(q["qpos"])
+        dist = jnp.linalg.norm(q["target"] - ee)
+        reward = jnp.exp(-((dist / self.sigma) ** 2)) - self.ctrl_cost * jnp.sum(
+            jnp.square(action)
+        )
+        return State(
+            data=q,
+            obs=self._obs(q),
+            reward=reward,
+            done=jnp.float32(0.0),  # fixed-horizon; EpisodeWrapper truncates
+            info={},
+            metrics={"ee_distance": dist},
+        )
+
+    # -- protocol ---------------------------------------------------------
+
+    def reset(self, rng: jax.Array) -> State:
+        k_q, k_v, k_t = jax.random.split(rng, 3)
+        qpos = jnp.asarray(default_qpos(self.model))
+        # Small random shoulder tilt via the exponential map keeps the
+        # quaternion valid for any noise draw.
+        from nnx_ppo_tpu.physics.spatial import quat_integrate
+
+        tilt = 0.3 * jax.random.normal(k_q, (3,))
+        quat = quat_integrate(qpos[0:4], tilt, 1.0)
+        qpos = jnp.concatenate([quat, qpos[4:]])
+        qvel = 0.05 * jax.random.normal(k_v, (self.model.nv,))
+        q = {"qpos": qpos, "qvel": qvel, "target": self._sample_target(k_t)}
+        return self._state(q, jnp.zeros(self.action_size))
+
+    def step(self, state: State, action: jax.Array) -> State:
+        q = state.data
+        tau = self.torque_scale * jnp.clip(action, -1.0, 1.0)
+        qpos, qvel, _ = step(
+            self.model, q["qpos"], q["qvel"], tau, self.physics_dt,
+            n_substeps=self.n_substeps,
+        )
+        new_q = {"qpos": qpos, "qvel": qvel, "target": q["target"]}
+        return self._state(new_q, action)

@@ -308,3 +308,69 @@ class TestQuadrupedJoystick:
         )
         assert jnp.isfinite(metrics["losses/actor/mean"])
         assert int(ts.steps_taken) == 8 * 4
+
+
+class TestArmReacher:
+    """Manipulation family on the engine's ball joint (models/arm.py)."""
+
+    def test_protocol_and_shapes(self):
+        from nnx_ppo_tpu.envs import ArmReacher
+
+        env = ArmReacher()
+        state = env.reset(jax.random.key(0))
+        assert state.obs.shape == (18,)
+        assert float(state.done) == 0.0
+        nxt = jax.jit(env.step)(state, jnp.zeros(4))
+        assert jnp.isfinite(nxt.reward)
+        # Shoulder quaternion in obs stays unit-norm through stepping.
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(nxt.obs[0:4])), 1.0, atol=1e-5
+        )
+
+    def test_targets_are_reachable_and_per_env(self):
+        from nnx_ppo_tpu.envs import ArmReacher
+
+        env = ArmReacher()
+        B = 16
+        states = jax.vmap(env.reset)(jax.random.split(jax.random.key(3), B))
+        t = np.asarray(states.data["target"])
+        radii = np.linalg.norm(t, axis=1)
+        assert (radii >= 0.25 - 1e-5).all() and (radii <= 0.6 + 1e-5).all()
+        assert (radii <= env.reach).all()
+        assert len(np.unique(t.round(4), axis=0)) == B  # distinct targets
+
+    def test_reward_gradient_toward_target(self):
+        """Moving the end effector onto the target maximizes reward."""
+        from nnx_ppo_tpu.envs import ArmReacher
+
+        env = ArmReacher()
+        state = env.reset(jax.random.key(0))
+        q = dict(state.data)
+        # Place the target exactly at the current end effector.
+        q["target"] = env._ee_pos(q["qpos"])
+        on_target = env._state(q, jnp.zeros(4))
+        assert float(on_target.reward) > 0.99
+        assert float(on_target.reward) > float(state.reward)
+
+    def test_torque_moves_arm(self):
+        from nnx_ppo_tpu.envs import ArmReacher
+
+        env = ArmReacher()
+        state = env.reset(jax.random.key(1))
+        stepf = jax.jit(env.step)
+        spun = state
+        for _ in range(10):
+            spun = stepf(spun, jnp.array([0.0, 1.0, 0.0, 0.0]))
+        assert float(spun.data["qvel"][1]) > 1.0
+
+    def test_ppo_step_runs(self):
+        from nnx_ppo_tpu.envs import ArmReacher
+
+        env = EpisodeWrapper(ArmReacher(), 100)
+        net = make_mlp_actor_critic(
+            env.observation_size, env.action_size, [32], [32],
+            jax.random.key(0),
+        )
+        ts, metrics = _ppo_smoke(env, net, n_envs=8, rollout_length=4,
+                                 n_steps=1)
+        assert jnp.isfinite(metrics["losses/actor/mean"])
