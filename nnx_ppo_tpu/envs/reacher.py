@@ -104,6 +104,62 @@ class ArmReacher:
             metrics={"ee_distance": dist},
         )
 
+    # -- rendering --------------------------------------------------------
+
+    def render(self, trajectory, height: int = 240, width: int = 320):
+        """Rasterize a trajectory of (Slim)States into HWC uint8 frames
+        (side view, camera fixed at the shoulder): arm segments, end
+        effector, and the episode target as a crosshair — completes the
+        eval→render→video pipeline for the manipulation family with no
+        graphics dependency."""
+        import numpy as np
+
+        model = self.model
+        scale = height / 1.6
+        cx, cy = width // 2, height // 2
+
+        def to_px(x, z):
+            # Shoulder-relative coords; x right, z up.
+            return int(cx + x * scale), int(cy - z * scale)
+
+        def draw_line(frame, a, b, color):
+            n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1]), 1)) + 1
+            for t in np.linspace(0.0, 1.0, 2 * n):
+                px = int(a[0] + t * (b[0] - a[0]))
+                py = int(a[1] + t * (b[1] - a[1]))
+                if 0 <= px < width - 1 and 0 <= py < height - 1:
+                    frame[py : py + 2, px : px + 2, :] = color
+
+        frames = []
+        anchor = np.array([0.0, 0.0, SHOULDER_HEIGHT], np.float32)
+        for slim in trajectory:
+            qpos = jnp.asarray(
+                np.asarray(jax.device_get(slim.data["qpos"]), np.float32)
+            )
+            target = np.asarray(jax.device_get(slim.data["target"]))
+            kin = fwd_kinematics(model, qpos)
+            ps = [np.asarray(jax.device_get(p)) - anchor for p in kin.p]
+            Es = [np.asarray(jax.device_get(E)) for E in kin.E]
+            elbow = ps[1]
+            tip = ps[1] + Es[1] @ np.asarray(EE_OFFSET, np.float32)
+
+            frame = np.full((height, width, 3), 255, np.uint8)
+            # Pedestal mark at the shoulder.
+            frame[cy - 2 : cy + 3, cx - 2 : cx + 3, :] = (40, 40, 40)
+            draw_line(frame, to_px(0.0, 0.0), to_px(elbow[0], elbow[2]),
+                      (60, 60, 60))
+            draw_line(frame, to_px(elbow[0], elbow[2]),
+                      to_px(tip[0], tip[2]), (60, 60, 60))
+            px, py = to_px(tip[0], tip[2])
+            if 0 <= px < width - 4 and 0 <= py < height - 4:
+                frame[py : py + 4, px : px + 4, :] = (200, 80, 40)
+            # Target crosshair.
+            tx, ty = to_px(target[0], target[2])
+            draw_line(frame, (tx - 5, ty), (tx + 5, ty), (40, 40, 200))
+            draw_line(frame, (tx, ty - 5), (tx, ty + 5), (40, 40, 200))
+            frames.append(frame)
+        return frames
+
     # -- protocol ---------------------------------------------------------
 
     def reset(self, rng: jax.Array) -> State:

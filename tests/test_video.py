@@ -74,3 +74,27 @@ def test_quadruped_video_pipeline():
     assert frames[0].dtype == np.uint8
     # Robot pixels present (not a blank frame).
     assert (frames[0] != 255).any()
+
+
+def test_reacher_video_pipeline():
+    """The manipulation env completes the render path: render-rollout
+    scan → unstack → ArmReacher.render → frames with arm + target."""
+    import numpy as np
+
+    from nnx_ppo_tpu.algorithms import rollout
+    from nnx_ppo_tpu.envs import ArmReacher
+    from nnx_ppo_tpu.networks import make_mlp_actor_critic
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    env = EpisodeWrapper(ArmReacher(), 100)
+    net = make_mlp_actor_critic(18, 4, [16], [16], jax.random.key(0))
+    T = 5
+    stacked, final, reward = jax.jit(
+        lambda key: rollout.eval_rollout_for_render_scan(env, net, T, key)
+    )(jax.random.key(1))
+    trajectory = rollout.unstack_trajectory(stacked, final, T)
+    frames = env.render(trajectory, height=80, width=120)
+    assert len(frames) == T + 1
+    assert frames[0].shape == (80, 120, 3)
+    assert frames[0].dtype == np.uint8
+    assert (frames[0] != 255).any()  # arm and target drawn
