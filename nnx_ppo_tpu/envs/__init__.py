@@ -5,10 +5,12 @@ from nnx_ppo_tpu.envs.mjx import MJX_AVAILABLE, MJXCartpoleBalance, MJXEnv
 from nnx_ppo_tpu.envs.humanoid import HumanoidJoystick
 from nnx_ppo_tpu.envs.legged import LeggedJoystick
 from nnx_ppo_tpu.envs.quadruped import QuadrupedJoystick
+from nnx_ppo_tpu.envs.pusher import ArmPush
 from nnx_ppo_tpu.envs.reacher import ArmReacher
 from nnx_ppo_tpu.envs.types import State
 
 __all__ = [
+    "ArmPush",
     "ArmReacher",
     "CartpoleBalance",
     "CartpoleSwingup",

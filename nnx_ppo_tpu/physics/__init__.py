@@ -18,6 +18,7 @@ from nnx_ppo_tpu.physics.model import (
     Model,
     ModelBuilder,
 )
+from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
 
 __all__ = [
     "BALL",
@@ -26,6 +27,9 @@ __all__ = [
     "SLIDE",
     "Model",
     "ModelBuilder",
+    "Scene",
+    "scene_forward",
+    "scene_step",
     "bias_forces",
     "forward_dynamics",
     "fwd_kinematics",

@@ -198,17 +198,10 @@ def contact_generalized_forces(
     per geom."""
     f_ext: list = [None] * model.n_bodies
     normals = []
-    # World sphere centers (shared by ground and pair contacts).
-    centers = [
-        kin.p[b] + kin.E[b] @ jnp.asarray(model.geom_offset[g], jnp.float32)
-        for g, b in enumerate(model.geom_body)
-    ]
+    centers = geom_world_centers(model, kin)
 
     def point_velocity(b: int, r_local: jax.Array) -> jax.Array:
-        """World velocity of body ``b``'s material point at body-frame
-        offset ``r_local``."""
-        w, vl = v[b][:3], v[b][3:]
-        return kin.E[b] @ (vl + jnp.cross(w, r_local))
+        return body_point_velocity(kin, v, b, r_local)
 
     def apply_force(b: int, r_local: jax.Array, f_w: jax.Array) -> None:
         """Accumulate a world-frame point force as a spatial force at
@@ -244,9 +237,13 @@ def contact_generalized_forces(
             ),
             0.0,
         )
+        if np.isfinite(model.max_contact_force):
+            fn = jnp.minimum(fn, model.max_contact_force)
         vt = v_pt[:2]
         vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
-        ft = -model.friction * fn * vt / jnp.maximum(vt_norm, 0.1)
+        ft = -model.friction * fn * vt / jnp.maximum(
+            vt_norm, model.friction_vel
+        )
         f_w = jnp.concatenate([ft, fn[None]])
         normals.append(fn)
         apply_force(b, contact_offset, f_w)
@@ -258,37 +255,91 @@ def contact_generalized_forces(
     # system's total momentum.
     for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
         ba, bb = model.geom_body[ga], model.geom_body[gb]
-        ra = jnp.float32(model.geom_radius[ga])
-        rb = jnp.float32(model.geom_radius[gb])
-        d = centers[gb] - centers[ga]
-        dist = jnp.sqrt(jnp.sum(d**2) + 1e-12)
-        n = d / dist  # contact normal, a → b
-        phi = ra + rb - dist
-        c_w = centers[ga] + n * (ra - 0.5 * phi)  # contact point, world
-        ra_loc = kin.E[ba].T @ (c_w - kin.p[ba])
-        rb_loc = kin.E[bb].T @ (c_w - kin.p[bb])
-        v_rel = point_velocity(bb, rb_loc) - point_velocity(ba, ra_loc)
-        sep = jnp.dot(n, v_rel)  # separation rate (= -φ̇)
-        active = phi > 0.0
-        fn = jnp.where(
-            active,
-            jnp.maximum(
-                0.0,
-                model.contact_stiffness * phi - model.contact_damping * sep,
-            ),
-            0.0,
+        f_w, c_w, fn = sphere_pair_force(
+            centers[ga],
+            centers[gb],
+            jnp.float32(model.geom_radius[ga]),
+            jnp.float32(model.geom_radius[gb]),
+            stiffness=model.contact_stiffness,
+            damping=model.contact_damping,
+            friction=model.friction,
+            friction_vel=model.friction_vel,
+            max_force=model.max_contact_force,
+            va_fn=lambda c, b=ba: point_velocity(b, kin.E[b].T @ (c - kin.p[b])),
+            vb_fn=lambda c, b=bb: point_velocity(b, kin.E[b].T @ (c - kin.p[b])),
         )
-        vt = v_rel - sep * n
-        vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
-        ft = -model.friction * fn * vt / jnp.maximum(vt_norm, 0.1)
-        f_w = fn * n + ft  # on body b; body a gets the opposite
         normals.append(fn)
-        apply_force(bb, rb_loc, f_w)
-        apply_force(ba, ra_loc, -f_w)
+        apply_force(bb, kin.E[bb].T @ (c_w - kin.p[bb]), f_w)
+        apply_force(ba, kin.E[ba].T @ (c_w - kin.p[ba]), -f_w)
 
-    # Single backward pass over the tree (bodies are topologically
-    # ordered): project each body's accumulated external force on its
-    # joint subspace and pass the remainder to the parent.
+    tau = project_spatial_forces(model, kin, f_ext)
+    if normals:
+        return tau, jnp.stack(normals)
+    return tau, jnp.zeros((0,))
+
+
+def geom_world_centers(model: Model, kin) -> list:
+    """World-frame centers of every contact sphere."""
+    return [
+        kin.p[b] + kin.E[b] @ jnp.asarray(model.geom_offset[g], jnp.float32)
+        for g, b in enumerate(model.geom_body)
+    ]
+
+
+def body_point_velocity(kin, v: list, b: int, r_local: jax.Array) -> jax.Array:
+    """World velocity of body ``b``'s material point at body-frame
+    offset ``r_local``."""
+    w, vl = v[b][:3], v[b][3:]
+    return kin.E[b] @ (vl + jnp.cross(w, r_local))
+
+
+def sphere_pair_force(
+    xa: jax.Array,
+    xb: jax.Array,
+    ra,
+    rb,
+    *,
+    stiffness: float,
+    damping: float,
+    friction: float,
+    va_fn,
+    vb_fn,
+    friction_vel: float = 0.1,
+    max_force: float = float("inf"),
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Penalty force between two spheres at world centers ``xa``/``xb``.
+
+    ``va_fn``/``vb_fn`` map a world contact point to that body's material
+    velocity there. Returns ``(f_world on b, contact point, fn)``; body a
+    gets ``-f_world`` (equal-and-opposite at the same point, so the pair
+    is momentum-conserving). Shared by intra-tree self-collision pairs
+    and the cross-tree pairs of ``physics/scene.py``.
+    """
+    d = xb - xa
+    dist = jnp.sqrt(jnp.sum(d**2) + 1e-12)
+    n = d / dist  # contact normal, a → b
+    phi = ra + rb - dist
+    c_w = xa + n * (ra - 0.5 * phi)  # contact point, world
+    v_rel = vb_fn(c_w) - va_fn(c_w)
+    sep = jnp.dot(n, v_rel)  # separation rate (= -φ̇)
+    fn = jnp.where(
+        phi > 0.0,
+        jnp.maximum(0.0, stiffness * phi - damping * sep),
+        0.0,
+    )
+    if np.isfinite(max_force):
+        fn = jnp.minimum(fn, max_force)
+    vt = v_rel - sep * n
+    vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
+    ft = -friction * fn * vt / jnp.maximum(vt_norm, friction_vel)
+    return fn * n + ft, c_w, fn
+
+
+def project_spatial_forces(model: Model, kin, f_ext: list) -> jax.Array:
+    """Map per-body spatial forces (body frame, at the body origin;
+    ``None`` = no force) to generalized coordinates with one backward
+    pass over the topologically-ordered tree — the same ``Xᵀ``
+    propagation RNEA uses; no explicit Jacobian. MUTATES ``f_ext``."""
     per_body = []
     for i in reversed(range(model.n_bodies)):
         fi = f_ext[i]
@@ -300,10 +351,22 @@ def contact_generalized_forces(
         if parent >= 0:
             up = kin.X_up[i].T @ fi
             f_ext[parent] = up if f_ext[parent] is None else f_ext[parent] + up
-    tau = jnp.concatenate(per_body[::-1])
-    if normals:
-        return tau, jnp.stack(normals)
-    return tau, jnp.zeros((0,))
+    return jnp.concatenate(per_body[::-1])
+
+
+def project_world_point_forces(
+    model: Model, kin, forces: list
+) -> jax.Array:
+    """Generalized torques from world-frame point forces: ``forces`` is
+    a list of ``(body_index, point_world, f_world)``. Used by the scene
+    layer to apply cross-tree contact forces to a tree."""
+    f_ext: list = [None] * model.n_bodies
+    for b, point_w, f_w in forces:
+        r_local = kin.E[b].T @ (point_w - kin.p[b])
+        f_b = kin.E[b].T @ f_w
+        f_sp = jnp.concatenate([jnp.cross(r_local, f_b), f_b])
+        f_ext[b] = f_sp if f_ext[b] is None else f_ext[b] + f_sp
+    return project_spatial_forces(model, kin, f_ext)
 
 
 def limit_torques(
@@ -367,6 +430,7 @@ def forward_dynamics(
     tau_applied: jax.Array,
     dt: float = 0.0,
     chol: Optional[jax.Array] = None,
+    external_forces: Optional[list] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """``(M + dt·D) q̈ = τ_applied + τ_contact − C`` (D = joint damping);
     also returns per-contact normal forces (ground geoms, then pairs).
@@ -377,6 +441,11 @@ def forward_dynamics(
     be expressed as model damping and stay unconditionally stable
     instead of limiting the step size. ``dt=0`` is the plain continuous
     dynamics (used by analytic-exactness tests).
+
+    ``external_forces``: optional world-frame point forces
+    ``[(body_index, point_world, f_world)]`` applied on top of the
+    tree's own contacts — the scene layer passes cross-tree contact
+    forces here (``physics/scene.py``).
 
     ``chol``: optionally a precomputed :func:`mass_matrix_factor`. The
     CRBA build + factorization dominate the substep cost; holding the
@@ -394,6 +463,10 @@ def forward_dynamics(
     tau_l = limit_torques(model, qpos, qvel)
     if tau_l is not None:
         rhs = rhs + tau_l
+    if external_forces:
+        # World-frame point forces [(body, point_world, f_world)] from
+        # outside this tree (the scene layer's cross-tree contacts).
+        rhs = rhs + project_world_point_forces(model, kin, external_forces)
     if chol is not None:
         return cholesky_backsub(chol, rhs), normals
     M = mass_matrix(model, kin)

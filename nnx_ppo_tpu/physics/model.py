@@ -82,6 +82,18 @@ class Model:
     contact_stiffness: float = 5_000.0
     contact_damping: float = 100.0
     friction: float = 0.8
+    # Regularization velocity of the smooth-Coulomb friction (the knee
+    # below which friction is viscous). The effective viscous slope is
+    # ``friction·fn/friction_vel`` — explicit integration requires
+    # ``slope·dt/m_eff < 2``, so light bodies / stiff impacts need a
+    # larger knee and/or a normal-force cap to stay stable.
+    friction_vel: float = 0.1
+    # Upper bound on any single penalty normal force (∞ = uncapped).
+    # Bounds both the impact force AND the friction slope during
+    # violent collisions — without it a light free body whacked into
+    # the ground can excite the explicit friction term into geometric
+    # divergence (see docs/physics.md).
+    max_contact_force: float = float("inf")
 
     @property
     def n_bodies(self) -> int:

@@ -27,14 +27,18 @@ def _rod_inertia(mass: float, length: float, radius: float = 0.03):
     return (i_perp, i_perp, i_axial)
 
 
-def make_arm(gravity: float = -9.81) -> Model:
+def make_arm(
+    gravity: float = -9.81,
+    shoulder_height: float = SHOULDER_HEIGHT,
+    **contact_params,
+) -> Model:
     b = ModelBuilder(gravity=gravity)
     # Ball shoulder needs nonzero rotational inertia about every axis
     # (see physics docs); the rod's axial term covers the long axis.
     b.add_body(
         "upper_arm",
         joint=BALL,
-        pos=(0.0, 0.0, SHOULDER_HEIGHT),
+        pos=(0.0, 0.0, shoulder_height),
         mass=1.8,
         com=(0.0, 0.0, -UPPER_LEN / 2),
         inertia=_rod_inertia(1.8, UPPER_LEN),
@@ -55,7 +59,7 @@ def make_arm(gravity: float = -9.81) -> Model:
         limit=(-2.6, 2.6),
     )
     b.add_sphere_geom("forearm", tuple(EE_OFFSET), 0.03)
-    return b.finalize()
+    return b.finalize(**contact_params)
 
 
 def default_qpos(model: Model) -> np.ndarray:
