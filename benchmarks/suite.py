@@ -139,6 +139,7 @@ def _legged_physics(
     reuse_mass_matrix=False,
     self_collision=False,
     joint_limits=False,
+    rough=False,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -149,11 +150,18 @@ def _legged_physics(
 
     env_cls = {"quadruped": QuadrupedJoystick,
                "humanoid": HumanoidJoystick}[env_name]
+    extra = {}
+    if rough:
+        from nnx_ppo_tpu.physics import rough_terrain
+
+        extra["terrain"] = rough_terrain(seed=2, amplitude=0.03,
+                                         wavelength=1.5)
     env = EpisodeWrapper(
         env_cls(
             reuse_mass_matrix=reuse_mass_matrix,
             self_collision=self_collision,
             joint_limits=joint_limits,
+            **extra,
         ),
         max_len=500,
     )
@@ -184,6 +192,20 @@ def _reacher_4096():
     from nnx_ppo_tpu.envs import ArmReacher
 
     env = EpisodeWrapper(ArmReacher(), max_len=150)
+    net = make_mlp_actor_critic(
+        env.observation_size, env.action_size, [128, 128], [256, 256],
+        jax.random.key(0), entropy_weight=2e-3, normalize_obs=True,
+    )
+    return env, net, PPOConfig(n_envs=4096, rollout_length=20)
+
+
+def _pusher_4096():
+    # Object interaction: multi-tree scene (arm + free ball coupled by a
+    # cross-tree contact, physics/scene.py) — two mass-matrix solves per
+    # substep plus the cross-pair force.
+    from nnx_ppo_tpu.envs import ArmPush
+
+    env = EpisodeWrapper(ArmPush(), max_len=200)
     net = make_mlp_actor_critic(
         env.observation_size, env.action_size, [128, 128], [256, 256],
         jax.random.key(0), entropy_weight=2e-3, normalize_obs=True,
@@ -255,8 +277,14 @@ CONFIGS = {
     "humanoid_2048_full": functools.partial(
         _legged_physics, "humanoid", self_collision=True, joint_limits=True
     ),
+    # Heightfield ground (physics/terrain.py): per-geom analytic
+    # normal/penetration instead of the flat-plane fast path.
+    "quadruped_2048_rough": functools.partial(
+        _legged_physics, "quadruped", rough=True
+    ),
     "population_graph": _population_graph,
     "reacher_4096": _reacher_4096,
+    "pusher_4096": _pusher_4096,
 }
 
 

@@ -60,6 +60,8 @@ class LeggedJoystick:
         reset_joint_noise: float = 0.1,
         reuse_mass_matrix: bool = False,
         n_feet: int = 4,
+        terrain=None,
+        spawn_radius: float = 5.0,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -87,8 +89,21 @@ class LeggedJoystick:
         # their normal forces feed the contact metrics. Both in-repo
         # models have 4: one per foot (quadruped), heel+toe × 2 (biped).
         self.n_feet = n_feet
+        # Optional heightfield ground (physics/terrain.py). The analytic
+        # field is spatially aperiodic, so per-env variation comes from
+        # random spawn positions within ``spawn_radius`` — the obs stay
+        # terrain-agnostic (proprioception only), the trace stays one
+        # program, and height-based reward/termination terms are
+        # measured relative to the local ground.
+        self.terrain = terrain
+        self.spawn_radius = spawn_radius
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         self.action_size = self.n_act
+
+    def _ground_height(self, xy: jax.Array) -> jax.Array:
+        if self.terrain is None:
+            return jnp.zeros(())
+        return self.terrain.height(xy)
 
     # -- helpers ----------------------------------------------------------
 
@@ -127,10 +142,11 @@ class LeggedJoystick:
         tracking = 0.7 * r_lin + 0.3 * r_ang
 
         up_alignment = (E.T @ jnp.array([0.0, 0.0, 1.0]))[2]  # 1 = level
+        height = qpos[2] - self._ground_height(qpos[0:2])
         penalty = (
             0.002 * jnp.sum(jnp.square(action))
             + 0.01 * jnp.sum(jnp.square(action - prev_action))
-            + 0.05 * jnp.square(qpos[2] - self.stand_height)
+            + 0.05 * jnp.square(height - self.stand_height)
             + 0.02 * (1.0 - up_alignment)
         )
         return {"tracking": tracking, "penalty": -penalty}
@@ -139,7 +155,8 @@ class LeggedJoystick:
         qpos = q["qpos"]
         E = quat_to_rot(qpos[3:7])
         up = (E.T @ jnp.array([0.0, 0.0, 1.0]))[2]
-        fallen = jnp.logical_or(up < self.min_up, qpos[2] < self.min_height)
+        height = qpos[2] - self._ground_height(qpos[0:2])
+        fallen = jnp.logical_or(up < self.min_up, height < self.min_height)
         return fallen.astype(jnp.float32)
 
     def _state(
@@ -162,7 +179,8 @@ class LeggedJoystick:
             done=self._done(q),
             info={},
             metrics={
-                "trunk_height": q["qpos"][2],
+                "trunk_height": q["qpos"][2]
+                - self._ground_height(q["qpos"][0:2]),
                 "speed": jnp.linalg.norm(q["qvel"][3:5]),
                 # Count of foot contact SPHERES touching the ground (the
                 # quadruped has one per foot; the biped has heel+toe per
@@ -216,7 +234,24 @@ class LeggedJoystick:
                 )
 
             frame = np.full((height, width, 3), 255, np.uint8)
-            frame[ground_y : ground_y + 2, :, :] = 110
+            if self.terrain is None:
+                frame[ground_y : ground_y + 2, :, :] = 110
+            else:
+                # Terrain profile along the camera plane (y = trunk y).
+                trunk_y = float(ps[0][1])
+                wxs = cam_x + (np.arange(width) - width / 2) / scale
+                hs = np.asarray(
+                    jax.vmap(
+                        lambda x: self.terrain.height(
+                            jnp.stack([x, jnp.float32(trunk_y)])
+                        )
+                    )(jnp.asarray(wxs, jnp.float32))
+                )
+                pys = (ground_y - hs * scale).astype(int)
+                for px in range(width):
+                    py = pys[px]
+                    if 0 <= py < height - 2:
+                        frame[py : py + 2, px, :] = 110
             for i in range(1, model.n_bodies):
                 a = ps[model.parent[i]]
                 b = ps[i]
@@ -242,13 +277,23 @@ class LeggedJoystick:
     # -- protocol ---------------------------------------------------------
 
     def reset(self, rng: jax.Array) -> State:
-        k_pose, k_vel, k_cmd, k_carry = jax.random.split(rng, 4)
+        k_pose, k_vel, k_cmd, k_carry, k_xy = jax.random.split(rng, 5)
         joint_noise = self.reset_joint_noise * jax.random.normal(
             k_pose, (self.n_act,)
         )
+        if self.terrain is None:
+            spawn_xy = jnp.zeros(2)
+        else:
+            # Random world position = per-env local terrain (the field
+            # is aperiodic; see physics/terrain.py).
+            spawn_xy = self.spawn_radius * jax.random.uniform(
+                k_xy, (2,), minval=-1.0, maxval=1.0
+            )
+        spawn_z = self.stand_height + self._ground_height(spawn_xy)
         qpos = jnp.concatenate(
             [
-                jnp.array([0.0, 0.0, self.stand_height]),
+                spawn_xy,
+                spawn_z[None],
                 jnp.array([1.0, 0.0, 0.0, 0.0]),
                 self.default_pose + joint_noise,
             ]
@@ -282,7 +327,8 @@ class LeggedJoystick:
             tau_j = self.kp * (target - qp[7:])
             tau = jnp.concatenate([jnp.zeros(6), tau_j])
             qacc, normals = forward_dynamics(
-                self.model, qp, qv, tau, dt=self.physics_dt, chol=chol
+                self.model, qp, qv, tau, dt=self.physics_dt, chol=chol,
+                terrain=self.terrain,
             )
             qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
             return (qp, qv), normals[: self.n_feet]

@@ -19,6 +19,7 @@ from nnx_ppo_tpu.physics.model import (
     ModelBuilder,
 )
 from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
+from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain
 
 __all__ = [
     "BALL",
@@ -28,6 +29,8 @@ __all__ = [
     "Model",
     "ModelBuilder",
     "Scene",
+    "Terrain",
+    "rough_terrain",
     "scene_forward",
     "scene_step",
     "bias_forces",

@@ -186,11 +186,18 @@ def mass_matrix(model: Model, kin) -> jax.Array:
 
 
 def contact_generalized_forces(
-    model: Model, kin, v: list
+    model: Model, kin, v: list, terrain=None
 ) -> tuple[jax.Array, jax.Array]:
     """Penalty contacts → (generalized force [nv], per-contact normal
     force [NG + NP] for metrics/termination: the NG ground contacts
     first, then the model's sphere-sphere pairs in declaration order).
+
+    ``terrain``: optional :class:`~nnx_ppo_tpu.physics.terrain.Terrain`
+    heightfield. ``None`` (default) keeps the exact flat-plane ground
+    path (z = 0, normal = +z); with a terrain, penetration, normal, and
+    friction plane come from the analytic surface at each geom's
+    center (first-order surface approximation — exact for inclined
+    planes, accurate while terrain wavelength ≫ sphere radius).
 
     Contact spatial forces are first accumulated per body, then mapped
     to generalized coordinates with ONE backward chain pass (the same
@@ -216,35 +223,66 @@ def contact_generalized_forces(
         offset = jnp.asarray(model.geom_offset[g], jnp.float32)
         radius = jnp.float32(model.geom_radius[g])
         E_b = kin.E[b]
-        phi = radius - centers[g][2]  # penetration depth (>0 in contact)
-        # Velocity of (and lever arm to) the CONTACT POINT — the
-        # sphere's lowest point, one radius below the center in world-z
-        # — not the center: a sphere rolling without slipping then has
-        # zero tangential velocity (no spurious kinetic friction), and
-        # the friction force exerts its radius-length torque about the
-        # body.
-        contact_offset = offset + E_b.T @ jnp.array(
-            [0.0, 0.0, -1.0], jnp.float32
-        ) * radius
-        v_pt = point_velocity(b, contact_offset)
-        active = phi > 0.0
-        fn = jnp.where(
-            active,
-            jnp.maximum(
+        if terrain is None:
+            # Flat-plane fast path: normal is the constant +z, so the
+            # normal/tangential split is a static index pick.
+            phi = radius - centers[g][2]  # penetration (>0 in contact)
+            # Velocity of (and lever arm to) the CONTACT POINT — the
+            # sphere's lowest point, one radius below the center in
+            # world-z — not the center: a sphere rolling without
+            # slipping then has zero tangential velocity (no spurious
+            # kinetic friction), and the friction force exerts its
+            # radius-length torque about the body.
+            contact_offset = offset + E_b.T @ jnp.array(
+                [0.0, 0.0, -1.0], jnp.float32
+            ) * radius
+            v_pt = point_velocity(b, contact_offset)
+            active = phi > 0.0
+            fn = jnp.where(
+                active,
+                jnp.maximum(
+                    0.0,
+                    model.contact_stiffness * phi
+                    - model.contact_damping * v_pt[2],
+                ),
                 0.0,
-                model.contact_stiffness * phi
-                - model.contact_damping * v_pt[2],
-            ),
-            0.0,
-        )
-        if np.isfinite(model.max_contact_force):
-            fn = jnp.minimum(fn, model.max_contact_force)
-        vt = v_pt[:2]
-        vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
-        ft = -model.friction * fn * vt / jnp.maximum(
-            vt_norm, model.friction_vel
-        )
-        f_w = jnp.concatenate([ft, fn[None]])
+            )
+            if np.isfinite(model.max_contact_force):
+                fn = jnp.minimum(fn, model.max_contact_force)
+            vt = v_pt[:2]
+            vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
+            ft = -model.friction * fn * vt / jnp.maximum(
+                vt_norm, model.friction_vel
+            )
+            f_w = jnp.concatenate([ft, fn[None]])
+        else:
+            # Heightfield: surface normal n from the analytic gradient
+            # at the center's xy; gap along n ≈ vertical gap · n_z
+            # (exact on planes). Contact point one radius down the
+            # normal — same rolling-contact reasoning as above.
+            c = centers[g]
+            n = terrain.normal(c[:2])
+            phi = radius - (c[2] - terrain.height(c[:2])) * n[2]
+            contact_offset = offset + E_b.T @ (-n * radius)
+            v_pt = point_velocity(b, contact_offset)
+            vn = jnp.dot(n, v_pt)
+            fn = jnp.where(
+                phi > 0.0,
+                jnp.maximum(
+                    0.0,
+                    model.contact_stiffness * phi
+                    - model.contact_damping * vn,
+                ),
+                0.0,
+            )
+            if np.isfinite(model.max_contact_force):
+                fn = jnp.minimum(fn, model.max_contact_force)
+            vt = v_pt - vn * n
+            vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
+            ft = -model.friction * fn * vt / jnp.maximum(
+                vt_norm, model.friction_vel
+            )
+            f_w = fn * n + ft
         normals.append(fn)
         apply_force(b, contact_offset, f_w)
 
@@ -431,9 +469,13 @@ def forward_dynamics(
     dt: float = 0.0,
     chol: Optional[jax.Array] = None,
     external_forces: Optional[list] = None,
+    terrain=None,
 ) -> tuple[jax.Array, jax.Array]:
     """``(M + dt·D) q̈ = τ_applied + τ_contact − C`` (D = joint damping);
     also returns per-contact normal forces (ground geoms, then pairs).
+
+    ``terrain``: optional heightfield ground
+    (:mod:`nnx_ppo_tpu.physics.terrain`); ``None`` = flat z=0 plane.
 
     Passing the integration ``dt`` makes the viscous joint-damping term
     implicit (damping force evaluated at the *new* velocity — MuJoCo's
@@ -458,7 +500,7 @@ def forward_dynamics(
     kin = fwd_kinematics(model, qpos)
     v = body_velocities(model, kin, qvel)
     C = bias_forces(model, kin, qvel, v)
-    tau_c, normals = contact_generalized_forces(model, kin, v)
+    tau_c, normals = contact_generalized_forces(model, kin, v, terrain)
     rhs = tau_applied + tau_c - C
     tau_l = limit_torques(model, qpos, qvel)
     if tau_l is not None:
@@ -527,13 +569,16 @@ def step(
     tau_applied: jax.Array,
     dt: float,
     n_substeps: int = 1,
+    terrain=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Advance ``n_substeps`` physics steps of ``dt`` under constant
     applied torque. Returns (qpos, qvel, last normal forces)."""
 
     def substep(carry, _):
         qp, qv = carry
-        qacc, normals = forward_dynamics(model, qp, qv, tau_applied, dt=dt)
+        qacc, normals = forward_dynamics(
+            model, qp, qv, tau_applied, dt=dt, terrain=terrain
+        )
         qp, qv = integrate(model, qp, qv, qacc, dt)
         return (qp, qv), normals
 

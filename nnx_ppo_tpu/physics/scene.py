@@ -65,12 +65,14 @@ def scene_forward(
     qvels: tuple,
     taus: tuple,
     dt: float = 0.0,
+    terrain=None,
 ) -> tuple[tuple, jax.Array]:
     """Per-tree forward dynamics with cross-tree contact coupling.
 
     Returns ``(qaccs per tree, cross-pair normal forces [NP])``. Each
     tree additionally feels its own ground/self contacts, joint limits,
-    and implicit damping exactly as in :func:`engine.forward_dynamics`.
+    and implicit damping exactly as in :func:`engine.forward_dynamics`;
+    ``terrain`` (heightfield ground) applies to every tree.
     """
     kins = [fwd_kinematics(m, qp) for m, qp in zip(scene.models, qposs)]
     vels = [
@@ -113,7 +115,8 @@ def scene_forward(
 
     qaccs = tuple(
         forward_dynamics(
-            m, qp, qv, tau, dt=dt, external_forces=ext[t] or None
+            m, qp, qv, tau, dt=dt, external_forces=ext[t] or None,
+            terrain=terrain,
         )[0]
         for t, (m, qp, qv, tau) in enumerate(
             zip(scene.models, qposs, qvels, taus)
@@ -130,6 +133,7 @@ def scene_step(
     taus: tuple,
     dt: float,
     n_substeps: int = 1,
+    terrain=None,
 ) -> tuple[tuple, tuple, jax.Array]:
     """Advance every tree ``n_substeps`` semi-implicit-Euler steps under
     constant applied torques. Returns (qposs, qvels, last cross-pair
@@ -137,7 +141,9 @@ def scene_step(
 
     def substep(carry, _):
         qps, qvs = carry
-        qaccs, cross = scene_forward(scene, qps, qvs, taus, dt=dt)
+        qaccs, cross = scene_forward(
+            scene, qps, qvs, taus, dt=dt, terrain=terrain
+        )
         nxt = [
             integrate(m, qp, qv, qa, dt)
             for m, qp, qv, qa in zip(scene.models, qps, qvs, qaccs)

@@ -1,0 +1,125 @@
+"""Procedural heightfield terrain for the penalty-contact engine.
+
+The reference's physics substrate offers flat *and* uneven ground
+(mujoco_playground ships rough-terrain variants of its locomotion
+tasks); this module is the TPU-native counterpart for the in-repo
+engine. A :class:`Terrain` is a smooth analytic heightfield
+
+    h(x, y) = gₓ·x + g_y·y + Σₖ aₖ · sin(ωₖ · (dₖ·(x,y)) + φₖ)
+
+— a global slope plus a superposition of directional waves. Analytic
+and branch-free, so ground contacts stay a handful of fused VPU ops
+per geom under ``vmap``: no heightmap textures, no gathers, no
+dynamic shapes. The surface normal comes from the exact gradient.
+
+Per-env terrain variation needs no per-env parameters: the field is
+spatially aperiodic (incommensurate wave directions), so envs that
+spawn at random world positions each see their own local terrain —
+the randomization lives in ``reset``, the trace stays identical for
+every env.
+
+Validity regime: penetration depth and contact point use the
+first-order surface approximation at the sphere center (exact for
+planes) — accurate while the terrain's curvature radius is large
+against the contact sphere radius, i.e. wavelengths ≳ 10× the foot
+radius. :func:`rough_terrain` respects that by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Terrain:
+    """Static (trace-time) description of an analytic heightfield.
+
+    All fields are plain Python tuples, so a ``Terrain`` is hashable
+    and can ride along an env instance exactly like a
+    :class:`~nnx_ppo_tpu.physics.model.Model` does — it is never a
+    traced value.
+    """
+
+    amplitudes: tuple[float, ...] = ()
+    frequencies: tuple[float, ...] = ()  # spatial angular freq [rad/m]
+    directions: tuple[tuple[float, float], ...] = ()  # unit wave dirs
+    phases: tuple[float, ...] = ()
+    slope: tuple[float, float] = (0.0, 0.0)  # (∂h/∂x, ∂h/∂y) global
+
+    def __post_init__(self):
+        n = len(self.amplitudes)
+        if not (len(self.frequencies) == len(self.directions)
+                == len(self.phases) == n):
+            raise ValueError("wave parameter tuples must share a length")
+
+    # -- geometry ---------------------------------------------------------
+
+    def height(self, xy: jax.Array) -> jax.Array:
+        """Terrain height at world ``xy`` ([2] → scalar)."""
+        h = self.slope[0] * xy[0] + self.slope[1] * xy[1]
+        for a, f, d, p in zip(self.amplitudes, self.frequencies,
+                              self.directions, self.phases):
+            h = h + a * jnp.sin(f * (d[0] * xy[0] + d[1] * xy[1]) + p)
+        return h
+
+    def grad(self, xy: jax.Array) -> jax.Array:
+        """Exact analytic ``(∂h/∂x, ∂h/∂y)`` at ``xy``."""
+        gx = jnp.asarray(self.slope[0], jnp.float32)
+        gy = jnp.asarray(self.slope[1], jnp.float32)
+        for a, f, d, p in zip(self.amplitudes, self.frequencies,
+                              self.directions, self.phases):
+            c = a * f * jnp.cos(f * (d[0] * xy[0] + d[1] * xy[1]) + p)
+            gx = gx + d[0] * c
+            gy = gy + d[1] * c
+        return jnp.stack([gx, gy])
+
+    def normal(self, xy: jax.Array) -> jax.Array:
+        """Upward unit surface normal at ``xy`` ([3])."""
+        g = self.grad(xy)
+        n = jnp.concatenate([-g, jnp.ones(1)])
+        return n / jnp.sqrt(jnp.sum(n**2))
+
+
+def flat() -> Terrain:
+    """The trivial terrain h ≡ 0 (for exactness tests vs the plane
+    ground path — the engine's ``terrain=None`` fast path)."""
+    return Terrain()
+
+
+def inclined(slope_x: float = 0.0, slope_y: float = 0.0) -> Terrain:
+    """A perfect inclined plane (analytic-mechanics test surface)."""
+    return Terrain(slope=(slope_x, slope_y))
+
+
+def rough_terrain(
+    seed: int = 0,
+    amplitude: float = 0.04,
+    wavelength: float = 1.2,
+    n_waves: int = 6,
+    slope: tuple[float, float] = (0.0, 0.0),
+) -> Terrain:
+    """Standard isotropic rough ground: ``n_waves`` random-direction
+    waves with wavelengths in [wavelength, 2·wavelength] and total
+    height std ≈ ``amplitude``. Directions/frequencies are drawn
+    incommensurate, so the field never repeats — random spawn positions
+    give every env distinct local terrain.
+    """
+    rng = np.random.RandomState(seed)
+    angles = rng.uniform(0.0, 2.0 * math.pi, n_waves)
+    lengths = rng.uniform(wavelength, 2.0 * wavelength, n_waves)
+    # Σ (a·sin)² has variance n·a²/2 → scale for total std ≈ amplitude.
+    a = amplitude * math.sqrt(2.0 / n_waves)
+    return Terrain(
+        amplitudes=tuple(float(a) for _ in range(n_waves)),
+        frequencies=tuple(float(2.0 * math.pi / L) for L in lengths),
+        directions=tuple(
+            (float(math.cos(t)), float(math.sin(t))) for t in angles
+        ),
+        phases=tuple(float(p) for p in rng.uniform(0, 2 * math.pi, n_waves)),
+        slope=slope,
+    )
