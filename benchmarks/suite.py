@@ -140,6 +140,7 @@ def _legged_physics(
     self_collision=False,
     joint_limits=False,
     rough=False,
+    height_scan=0,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -156,6 +157,8 @@ def _legged_physics(
 
         extra["terrain"] = rough_terrain(seed=2, amplitude=0.03,
                                          wavelength=1.5)
+        if height_scan:
+            extra["height_scan"] = height_scan
     env = EpisodeWrapper(
         env_cls(
             reuse_mass_matrix=reuse_mass_matrix,

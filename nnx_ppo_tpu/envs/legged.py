@@ -62,6 +62,8 @@ class LeggedJoystick:
         n_feet: int = 4,
         terrain=None,
         spawn_radius: float = 5.0,
+        height_scan: int = 0,
+        height_scan_extent: float = 0.45,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -97,13 +99,49 @@ class LeggedJoystick:
         # measured relative to the local ground.
         self.terrain = terrain
         self.spawn_radius = spawn_radius
+        # Optional exteroception: ``height_scan=n`` adds an n×n grid of
+        # terrain-height samples (yaw-aligned square of half-width
+        # ``height_scan_extent`` around the trunk, expressed as height
+        # of the trunk above each sample minus stand_height — all zeros
+        # on flat ground at the nominal height). The standard
+        # rough-terrain locomotion observation: without it the policy
+        # is blind to upcoming bumps. Analytic terrain makes it a few
+        # fused sin/cos per sample — no heightmap gather.
+        self.height_scan = height_scan
+        self.height_scan_extent = height_scan_extent
+        if height_scan > 0 and terrain is None:
+            raise ValueError("height_scan requires a terrain")
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
+        if height_scan > 0:
+            lin = jnp.linspace(-height_scan_extent, height_scan_extent,
+                               height_scan)
+            gx, gy = jnp.meshgrid(lin, lin, indexing="ij")
+            self._scan_points = jnp.stack(
+                [gx.ravel(), gy.ravel()], axis=-1
+            )  # [n², 2] trunk-frame offsets
+            self.observation_size = dict(
+                self.observation_size, height_scan=height_scan * height_scan
+            )
         self.action_size = self.n_act
 
     def _ground_height(self, xy: jax.Array) -> jax.Array:
         if self.terrain is None:
             return jnp.zeros(())
         return self.terrain.height(xy)
+
+    def _height_scan_obs(self, qpos: jax.Array) -> jax.Array:
+        """Trunk height above each yaw-aligned sample point, minus the
+        nominal stand height ([n²]; ≡ 0 on flat ground at stand height).
+        """
+        qw, qx, qy, qz = qpos[3], qpos[4], qpos[5], qpos[6]
+        yaw = jnp.arctan2(
+            2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz)
+        )
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        R = jnp.array([[c, -s], [s, c]])
+        pts = qpos[0:2] + self._scan_points @ R.T  # [n², 2] world
+        hs = jax.vmap(self.terrain.height)(pts)
+        return qpos[2] - hs - self.stand_height
 
     # -- helpers ----------------------------------------------------------
 
@@ -125,7 +163,10 @@ class LeggedJoystick:
                 q["prev_action"],
             ]
         )
-        return {"proprio": proprio, "command": q["cmd"]}
+        obs = {"proprio": proprio, "command": q["cmd"]}
+        if self.height_scan > 0:
+            obs["height_scan"] = self._height_scan_obs(qpos)
+        return obs
 
     def _reward(self, q: dict, action: jax.Array, prev_action: jax.Array):
         qpos, qvel = q["qpos"], q["qvel"]

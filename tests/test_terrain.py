@@ -145,6 +145,70 @@ class TestInclineMechanics:
         assert float(fn[0]) > 0.0  # in contact
 
 
+class TestHeightScan:
+    def _env(self, terr, n=3):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        return QuadrupedJoystick(terrain=terr, height_scan=n,
+                                 height_scan_extent=0.4,
+                                 reset_joint_noise=0.0)
+
+    def test_rejects_scan_without_terrain(self):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        with pytest.raises(ValueError):
+            QuadrupedJoystick(height_scan=3)
+
+    def test_flat_scan_is_zero_at_stand_height(self):
+        env = self._env(Terrain())
+        s = env.reset(jax.random.key(0))
+        assert env.observation_size["height_scan"] == 9
+        np.testing.assert_allclose(
+            np.asarray(s.obs["height_scan"]), 0.0, atol=1e-6
+        )
+
+    def test_slope_reads_negative_ahead_and_rotates_with_yaw(self):
+        # Ground rising in +x: samples ahead of the trunk are higher
+        # ground → smaller trunk clearance → negative scan values.
+        slope = 0.1
+        env = self._env(inclined(slope_x=slope))
+        s = env.reset(jax.random.key(0))
+        q = dict(s.data)
+        qpos = q["qpos"]
+        scan = env._height_scan_obs(qpos)
+        n, e = 3, 0.4
+        grid = np.asarray(scan).reshape(n, n)  # [dx index, dy index]
+        x0 = float(qpos[0])
+        # value(dx) = (stand + slope·x0) − slope·(x0+dx) − stand = −slope·dx
+        np.testing.assert_allclose(grid[2, :], -slope * e, atol=1e-5)
+        np.testing.assert_allclose(grid[0, :], slope * e, atol=1e-5)
+        np.testing.assert_allclose(grid[1, :], 0.0, atol=1e-5)
+        # Yaw π/2: a trunk-frame offset (dx, dy) lands at world
+        # (−dy, dx), so the x-gradient moves to the dy axis with sign
+        # flipped: value = −slope·world_dx = +slope·dy.
+        qpos_rot = qpos.at[3:7].set(
+            jnp.array([np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)])
+        )
+        grid_rot = np.asarray(env._height_scan_obs(qpos_rot)).reshape(n, n)
+        np.testing.assert_allclose(grid_rot[:, 0], -slope * e, atol=1e-5)
+        np.testing.assert_allclose(grid_rot[:, 2], slope * e, atol=1e-5)
+        np.testing.assert_allclose(grid_rot[0, :], grid_rot[2, :], atol=1e-5)
+
+    def test_scan_env_runs_under_jit(self):
+        env = self._env(rough_terrain(seed=5, amplitude=0.03), n=5)
+        assert env.observation_size["height_scan"] == 25
+
+        @jax.jit
+        def run(key):
+            s = env.reset(key)
+            s = env.step(s, jnp.zeros(env.action_size))
+            return s
+
+        s = run(jax.random.key(1))
+        assert s.obs["height_scan"].shape == (25,)
+        assert bool(jnp.isfinite(s.obs["height_scan"]).all())
+
+
 class TestRoughLeggedEnv:
     @pytest.fixture(scope="class")
     def env(self):
