@@ -42,22 +42,28 @@ from nnx_ppo_tpu.networks import (
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
 
-def make_net(env_cls, key: jax.Array):
-    k = jax.random.split(key, 7)
-    obs_spec = env_cls.observation_size
-    enc = Concat.create(
+def make_net(obs_spec, action_size, key: jax.Array):
+    k = jax.random.split(key, 8)
+    streams = dict(
         proprio=Dense.create(obs_spec["proprio"], 256, k[0], jax.nn.swish),
         command=Dense.create(obs_spec["command"], 32, k[1], jax.nn.swish),
     )
+    width = 288
+    if "height_scan" in obs_spec:
+        streams["height_scan"] = Dense.create(
+            obs_spec["height_scan"], 64, k[7], jax.nn.swish
+        )
+        width += 64
+    enc = Concat.create(**streams)
     actor = Sequential.create([
-        Dense.create(288, 128, k[2], jax.nn.swish),
-        Dense.create(128, 2 * env_cls.action_size, k[3]),
+        Dense.create(width, 128, k[2], jax.nn.swish),
+        Dense.create(128, 2 * action_size, k[3]),
         NormalTanhSampler.create(k[4], entropy_weight=2e-3, min_std=0.1),
     ])
     critic = Parallel.create(
-        tracking=make_mlp([288, 256, 1], k[5], jax.nn.swish,
+        tracking=make_mlp([width, 256, 1], k[5], jax.nn.swish,
                           activation_last_layer=False),
-        penalty=make_mlp([288, 256, 1], k[6], jax.nn.swish,
+        penalty=make_mlp([width, 256, 1], k[6], jax.nn.swish,
                          activation_last_layer=False),
     )
     return Sequential.create([
@@ -84,6 +90,10 @@ def main() -> None:
                              "joint-range stops (the full contact model; "
                              "~13%% slower on the quadruped, ~27%% on "
                              "the humanoid)")
+    parser.add_argument("--rough", action="store_true",
+                        help="rough heightfield ground (physics/terrain.py)"
+                             " + a 5x5 height-scan obs stream so the "
+                             "policy sees upcoming bumps")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -92,20 +102,30 @@ def main() -> None:
 
     env_cls = QuadrupedJoystick if args.env == "quadruped" else HumanoidJoystick
     if args.out is None:
-        suffix = "_full" if args.full_contact else ""
+        suffix = ("_full" if args.full_contact else "") + (
+            "_rough" if args.rough else ""
+        )
         args.out = os.path.join(
             os.path.dirname(__file__),
             f"../benchmarks/results/{args.env}{suffix}_curve.csv",
         )
-    env = EpisodeWrapper(
-        env_cls(
-            reuse_mass_matrix=args.fast_mass_matrix,
-            self_collision=args.full_contact,
-            joint_limits=args.full_contact,
-        ),
-        max_len=500,
+    extra = {}
+    if args.rough:
+        from nnx_ppo_tpu.physics import rough_terrain
+
+        extra = dict(
+            terrain=rough_terrain(seed=2, amplitude=0.03, wavelength=1.5),
+            height_scan=5,
+        )
+    inner = env_cls(
+        reuse_mass_matrix=args.fast_mass_matrix,
+        self_collision=args.full_contact,
+        joint_limits=args.full_contact,
+        **extra,
     )
-    net = make_net(env_cls, jax.random.key(args.seed))
+    env = EpisodeWrapper(inner, max_len=500)
+    net = make_net(inner.observation_size, inner.action_size,
+                   jax.random.key(args.seed))
     cfg = TrainConfig(
         ppo=PPOConfig(
             n_envs=args.n_envs,
