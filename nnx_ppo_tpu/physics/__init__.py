@@ -19,7 +19,7 @@ from nnx_ppo_tpu.physics.model import (
     ModelBuilder,
 )
 from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
-from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain
+from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain, stairs
 
 __all__ = [
     "BALL",
@@ -31,6 +31,7 @@ __all__ = [
     "Scene",
     "Terrain",
     "rough_terrain",
+    "stairs",
     "scene_forward",
     "scene_step",
     "bias_forces",

@@ -96,6 +96,29 @@ def inclined(slope_x: float = 0.0, slope_y: float = 0.0) -> Terrain:
     return Terrain(slope=(slope_x, slope_y))
 
 
+def stairs(
+    step_height: float = 0.08,
+    step_length: float = 0.35,
+    direction: tuple[float, float] = (1.0, 0.0),
+) -> Terrain:
+    """Smooth staircase climbing along ``direction``: the classic
+    analytic stair ``h(s) = H·(s/L − sin(2πs/L)/(2π))`` — gradient
+    ``(H/L)(1 − cos(2πs/L))`` is exactly zero once per period (flat
+    treads at s = kL) and peaks at 2H/L mid-riser; each period rises
+    exactly ``step_height``. Expressible in the slope+sine basis, so it
+    needs no new engine code."""
+    dn = math.hypot(direction[0], direction[1])
+    dx, dy = direction[0] / dn, direction[1] / dn
+    H, L = step_height, step_length
+    return Terrain(
+        amplitudes=(H / (2.0 * math.pi),),
+        frequencies=(2.0 * math.pi / L,),
+        directions=((dx, dy),),
+        phases=(math.pi,),  # −sin
+        slope=(H / L * dx, H / L * dy),
+    )
+
+
 def rough_terrain(
     seed: int = 0,
     amplitude: float = 0.04,

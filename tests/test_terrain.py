@@ -82,6 +82,33 @@ class TestGeometry:
             assert abs(float(n @ tx)) < 1e-5
             assert abs(float(n @ ty)) < 1e-5
 
+    def test_stairs_geometry(self):
+        from nnx_ppo_tpu.physics import stairs
+
+        H, L = 0.08, 0.35
+        terr = stairs(step_height=H, step_length=L, direction=(0.6, 0.8))
+        d = jnp.array([0.6, 0.8])
+        # One period along the climb direction rises exactly H.
+        p0 = 1.3 * d
+        p1 = p0 + L * d
+        rise = float(terr.height(p1) - terr.height(p0))
+        np.testing.assert_allclose(rise, H, rtol=1e-5)
+        # Treads (s = kL) are exactly flat; mid-riser gradient = 2H/L.
+        tread = 3 * L * d
+        np.testing.assert_allclose(terr.grad(tread), 0.0, atol=1e-6)
+        riser = (3.5 * L) * d
+        g = terr.grad(riser)
+        np.testing.assert_allclose(
+            float(g @ d), 2 * H / L, rtol=1e-5
+        )
+        # No gradient across the climb direction.
+        perp = jnp.array([-0.8, 0.6])
+        assert abs(float(g @ perp)) < 1e-6
+        # Monotone non-decreasing along the climb.
+        ss = jnp.linspace(0.0, 3 * L, 200)
+        hs = jax.vmap(lambda s: terr.height(s * d))(ss)
+        assert float(jnp.min(jnp.diff(hs))) > -1e-7
+
     def test_rough_terrain_amplitude(self):
         terr = rough_terrain(seed=0, amplitude=0.05)
         xs = np.random.RandomState(0).uniform(-20, 20, (512, 2))
