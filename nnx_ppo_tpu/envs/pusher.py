@@ -135,6 +135,77 @@ class ArmPush:
             metrics={"ball_to_target": d_bt, "ee_to_ball": d_eb},
         )
 
+    # -- rendering --------------------------------------------------------
+
+    def render(self, trajectory, height: int = 240, width: int = 320):
+        """Rasterize a trajectory of (Slim)States into HWC uint8 frames:
+        top-down view centered on the arm base — arm segments projected
+        to the ground plane, end effector, the ball (circle, to scale),
+        and the target as a crosshair. Completes the
+        eval→render→video pipeline for the scene/object-interaction
+        family with no graphics dependency."""
+        import numpy as np
+
+        from nnx_ppo_tpu.physics.engine import fwd_kinematics
+        from nnx_ppo_tpu.physics.models.arm import EE_OFFSET
+
+        scale = min(height, width) / 1.8  # ~0.9 m half-extent
+        cx, cy = width // 2, height // 2
+
+        def to_px(x, y):
+            # World xy → screen: x right, y up.
+            return int(cx + x * scale), int(cy - y * scale)
+
+        def draw_line(frame, a, b, color):
+            n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1]), 1)) + 1
+            for t in np.linspace(0.0, 1.0, 2 * n):
+                px = int(a[0] + t * (b[0] - a[0]))
+                py = int(a[1] + t * (b[1] - a[1]))
+                if 0 <= px < width - 1 and 0 <= py < height - 1:
+                    frame[py : py + 2, px : px + 2, :] = color
+
+        arm = self.scene.models[0]
+        frames = []
+        for slim in trajectory:
+            q = {k: np.asarray(jax.device_get(v))
+                 for k, v in slim.data.items()}
+            kin = fwd_kinematics(arm, jnp.asarray(q["arm_qpos"]))
+            ps = [np.asarray(jax.device_get(p)) for p in kin.p]
+            Es = [np.asarray(jax.device_get(E)) for E in kin.E]
+            elbow = ps[1]
+            tip = ps[1] + Es[1] @ np.asarray(EE_OFFSET, np.float32)
+            ball = q["ball_qpos"][0:3]
+            target = q["target"]
+
+            frame = np.full((height, width, 3), 255, np.uint8)
+            # Base mark.
+            frame[cy - 2 : cy + 3, cx - 2 : cx + 3, :] = (40, 40, 40)
+            draw_line(frame, to_px(0.0, 0.0), to_px(elbow[0], elbow[1]),
+                      (60, 60, 60))
+            draw_line(frame, to_px(elbow[0], elbow[1]),
+                      to_px(tip[0], tip[1]), (60, 60, 60))
+            px, py = to_px(tip[0], tip[1])
+            if 0 <= px < width - 4 and 0 <= py < height - 4:
+                frame[py : py + 4, px : px + 4, :] = (200, 80, 40)
+            # Ball, drawn to scale.
+            bx, by = to_px(ball[0], ball[1])
+            r = max(int(BALL_RADIUS * scale), 2)
+            yy, xx = np.ogrid[-r : r + 1, -r : r + 1]
+            disk = yy * yy + xx * xx <= r * r
+            y0, x0 = by - r, bx - r
+            for dy_i in range(2 * r + 1):
+                for dx_i in range(2 * r + 1):
+                    if disk[dy_i, dx_i]:
+                        yq, xq = y0 + dy_i, x0 + dx_i
+                        if 0 <= yq < height and 0 <= xq < width:
+                            frame[yq, xq, :] = (80, 140, 60)
+            # Target crosshair.
+            tx, ty = to_px(target[0], target[1])
+            draw_line(frame, (tx - 5, ty), (tx + 5, ty), (40, 40, 200))
+            draw_line(frame, (tx, ty - 5), (tx, ty + 5), (40, 40, 200))
+            frames.append(frame)
+        return frames
+
     # -- protocol ---------------------------------------------------------
 
     def reset(self, rng: jax.Array) -> State:

@@ -98,3 +98,30 @@ def test_reacher_video_pipeline():
     assert frames[0].shape == (80, 120, 3)
     assert frames[0].dtype == np.uint8
     assert (frames[0] != 255).any()  # arm and target drawn
+
+
+def test_pusher_video_pipeline():
+    """The object-interaction env completes the render path:
+    render-rollout scan → unstack → ArmPush.render → top-down frames
+    with arm, ball, and target."""
+    import numpy as np
+
+    from nnx_ppo_tpu.algorithms import rollout
+    from nnx_ppo_tpu.envs import ArmPush
+    from nnx_ppo_tpu.networks import make_mlp_actor_critic
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    env = EpisodeWrapper(ArmPush(), 100)
+    net = make_mlp_actor_critic(22, 4, [16], [16], jax.random.key(0))
+    T = 4
+    stacked, final, reward = jax.jit(
+        lambda key: rollout.eval_rollout_for_render_scan(env, net, T, key)
+    )(jax.random.key(1))
+    trajectory = rollout.unstack_trajectory(stacked, final, T)
+    frames = env.render(trajectory, height=80, width=120)
+    assert len(frames) == T + 1
+    assert frames[0].shape == (80, 120, 3)
+    assert frames[0].dtype == np.uint8
+    assert (frames[0] != 255).any()  # arm, ball, target drawn
+    # The green ball disk is present.
+    assert (frames[0] == np.array([80, 140, 60])).all(axis=-1).any()
