@@ -94,6 +94,10 @@ def main() -> None:
                         help="rough heightfield ground (physics/terrain.py)"
                              " + a 5x5 height-scan obs stream so the "
                              "policy sees upcoming bumps")
+    parser.add_argument("--stairs", action="store_true",
+                        help="smooth staircase ground (terrain.stairs) + "
+                             "height scan — the classic stair-climbing "
+                             "benchmark surface")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -104,7 +108,7 @@ def main() -> None:
     if args.out is None:
         suffix = ("_full" if args.full_contact else "") + (
             "_rough" if args.rough else ""
-        )
+        ) + ("_stairs" if args.stairs else "")
         args.out = os.path.join(
             os.path.dirname(__file__),
             f"../benchmarks/results/{args.env}{suffix}_curve.csv",
@@ -115,6 +119,13 @@ def main() -> None:
 
         extra = dict(
             terrain=rough_terrain(seed=2, amplitude=0.03, wavelength=1.5),
+            height_scan=5,
+        )
+    elif args.stairs:
+        from nnx_ppo_tpu.physics import stairs
+
+        extra = dict(
+            terrain=stairs(step_height=0.06, step_length=0.4),
             height_scan=5,
         )
     inner = env_cls(
