@@ -76,6 +76,52 @@ class TestScene:
         np.testing.assert_allclose(np.asarray(qps[1]), np.asarray(rb[0]),
                                    atol=1e-6)
 
+    def test_three_trees_chain_of_pairs(self):
+        # Three free balls in a row, pairs (0,1) and (1,2): pushing the
+        # first transfers momentum down the chain while the combined
+        # system's momentum stays conserved (gravity off).
+        import numpy as np
+
+        from nnx_ppo_tpu.physics import Scene, scene_step
+        from nnx_ppo_tpu.physics.model import FREE, ModelBuilder
+        from nnx_ppo_tpu.physics.spatial import quat_to_rot
+
+        def ball():
+            b = ModelBuilder(gravity=0.0)
+            b.add_body("b", joint=FREE, mass=1.0, inertia=(0.004,) * 3)
+            b.add_sphere_geom("b", (0.0, 0.0, 0.0), 0.1)
+            return b.finalize()
+
+        models = (ball(), ball(), ball())
+        scene = Scene(models=models, pairs=((0, 0, 1, 0), (1, 0, 2, 0)))
+        spacing = 0.25
+        qposs = tuple(
+            jnp.array([i * spacing, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+            for i in range(3)
+        )
+        v0 = 2.0
+        qvels = (
+            jnp.array([0.0, 0.0, 0.0, v0, 0.0, 0.0]),  # body-frame +x
+            jnp.zeros(6),
+            jnp.zeros(6),
+        )
+        taus = tuple(jnp.zeros(6) for _ in range(3))
+        qposs, qvels, _ = scene_step(
+            scene, qposs, qvels, taus, dt=1e-3, n_substeps=600
+        )
+
+        def p_world(qp, qv):
+            return np.asarray(quat_to_rot(qp[3:7]) @ qv[3:6])
+
+        ps = [p_world(qp, qv) for qp, qv in zip(qposs, qvels)]
+        total = np.sum(ps, axis=0)
+        np.testing.assert_allclose(total, [v0, 0.0, 0.0], atol=2e-3)
+        # Momentum reached the last ball through the middle one.
+        assert ps[2][0] > 0.3
+        # Balls stay ordered along x (no tunnelling through each other).
+        xs = [float(qp[0]) for qp in qposs]
+        assert xs[0] < xs[1] < xs[2]
+
     def test_scene_validation(self):
         m = _ball(1.0, 0.1)
         with pytest.raises(ValueError):
