@@ -125,3 +125,40 @@ def test_pusher_video_pipeline():
     assert (frames[0] != 255).any()  # arm, ball, target drawn
     # The green ball disk is present.
     assert (frames[0] == np.array([80, 140, 60])).all(axis=-1).any()
+
+
+def test_rough_terrain_video_profile():
+    """LeggedJoystick.render draws the terrain profile (not the flat
+    ground line) when a terrain is set."""
+    import numpy as np
+
+    from nnx_ppo_tpu.algorithms import rollout
+    from nnx_ppo_tpu.envs import QuadrupedJoystick
+    from nnx_ppo_tpu.networks import Sequential, make_mlp_actor_critic
+    from nnx_ppo_tpu.networks.utils import Flattener
+    from nnx_ppo_tpu.physics import rough_terrain
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    env = EpisodeWrapper(
+        QuadrupedJoystick(
+            terrain=rough_terrain(seed=2, amplitude=0.05, wavelength=1.0)
+        ),
+        100,
+    )
+    net = Sequential.create([
+        Flattener.create(),
+        make_mlp_actor_critic(45, 12, [16], [16], jax.random.key(0),
+                              normalize_obs=False),
+    ])
+    T = 2
+    stacked, final, _ = jax.jit(
+        lambda key: rollout.eval_rollout_for_render_scan(env, net, T, key)
+    )(jax.random.key(1))
+    trajectory = rollout.unstack_trajectory(stacked, final, T)
+    frames = env.render(trajectory, height=80, width=120)
+    f = frames[0]
+    assert f.shape == (80, 120, 3)
+    # Ground pixels (value 110) exist and do NOT form a single flat
+    # row: the profile spans multiple rows for a bumpy field.
+    ground_rows = np.unique(np.where((f == 110).all(axis=-1))[0])
+    assert len(ground_rows) > 2, ground_rows
