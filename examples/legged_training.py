@@ -98,6 +98,9 @@ def main() -> None:
                         help="smooth staircase ground (terrain.stairs) + "
                              "height scan — the classic stair-climbing "
                              "benchmark surface")
+    parser.add_argument("--randomize", action="store_true",
+                        help="per-episode domain randomization (mass/"
+                        "friction/damping/gain — physics/randomize.py)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -108,7 +111,9 @@ def main() -> None:
     if args.out is None:
         suffix = ("_full" if args.full_contact else "") + (
             "_rough" if args.rough else ""
-        ) + ("_stairs" if args.stairs else "")
+        ) + ("_stairs" if args.stairs else "") + (
+            "_dr" if args.randomize else ""
+        )
         args.out = os.path.join(
             os.path.dirname(__file__),
             f"../benchmarks/results/{args.env}{suffix}_curve.csv",
@@ -127,6 +132,15 @@ def main() -> None:
         extra = dict(
             terrain=stairs(step_height=0.06, step_length=0.4),
             height_scan=5,
+        )
+    if args.randomize:
+        from nnx_ppo_tpu.physics import DomainRandomization
+
+        extra["randomize"] = DomainRandomization(
+            mass_scale=(0.8, 1.2),
+            friction=(0.4, 1.0),
+            damping_scale=(0.9, 1.1),
+            gain_scale=(0.9, 1.1),
         )
     inner = env_cls(
         reuse_mass_matrix=args.fast_mass_matrix,

@@ -64,6 +64,7 @@ class LeggedJoystick:
         spawn_radius: float = 5.0,
         height_scan: int = 0,
         height_scan_extent: float = 0.45,
+        randomize=None,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -111,6 +112,14 @@ class LeggedJoystick:
         self.height_scan_extent = height_scan_extent
         if height_scan > 0 and terrain is None:
             raise ValueError("height_scan requires a terrain")
+        # Optional per-env domain randomization
+        # (physics/randomize.py::DomainRandomization): each episode —
+        # including auto-resets inside the rollout scan — draws fresh
+        # mass/friction/damping/gain factors, stored in State.data and
+        # consumed by the engine as traced overrides. The batch stays
+        # one XLA program; the policy does NOT observe the draw (train
+        # for robustness, not system identification).
+        self.randomize = randomize
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         if height_scan > 0:
             lin = jnp.linspace(-height_scan_extent, height_scan_extent,
@@ -318,7 +327,7 @@ class LeggedJoystick:
     # -- protocol ---------------------------------------------------------
 
     def reset(self, rng: jax.Array) -> State:
-        k_pose, k_vel, k_cmd, k_carry, k_xy = jax.random.split(rng, 5)
+        k_pose, k_vel, k_cmd, k_carry, k_xy, k_dr = jax.random.split(rng, 6)
         joint_noise = self.reset_joint_noise * jax.random.normal(
             k_pose, (self.n_act,)
         )
@@ -347,6 +356,8 @@ class LeggedJoystick:
             "key": k_carry,
             "prev_action": jnp.zeros(self.n_act),
         }
+        if self.randomize is not None:
+            q["dr"] = self.randomize.sample(k_dr)
         zero = jnp.zeros(self.n_act)
         return self._state(q, zero, zero)
 
@@ -354,9 +365,13 @@ class LeggedJoystick:
         q = state.data
         action = jnp.clip(action, -1.0, 1.0)
         target = self.default_pose + self.action_scale * action
+        dr = q.get("dr") if self.randomize is not None else None
+        gain = 1.0 if dr is None or dr.gain_scale is None else dr.gain_scale
 
         chol = (
-            mass_matrix_factor(self.model, q["qpos"], dt=self.physics_dt)
+            mass_matrix_factor(
+                self.model, q["qpos"], dt=self.physics_dt, params=dr
+            )
             if self.reuse_mass_matrix
             else None
         )
@@ -365,11 +380,11 @@ class LeggedJoystick:
             qp, qv = carry
             # PD recomputed every physics substep against the held
             # target (P explicit; D implicit via model joint damping).
-            tau_j = self.kp * (target - qp[7:])
+            tau_j = gain * self.kp * (target - qp[7:])
             tau = jnp.concatenate([jnp.zeros(6), tau_j])
             qacc, normals = forward_dynamics(
                 self.model, qp, qv, tau, dt=self.physics_dt, chol=chol,
-                terrain=self.terrain,
+                terrain=self.terrain, params=dr,
             )
             qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
             return (qp, qv), normals[: self.n_feet]
@@ -389,6 +404,8 @@ class LeggedJoystick:
             "key": carry_key,
             "prev_action": action,
         }
+        if dr is not None:
+            new_q["dr"] = dr  # draw is per-episode; reset resamples
         return self._state(
             new_q, action, q["prev_action"], foot_normals=foot_normals[-1]
         )

@@ -114,15 +114,24 @@ def fwd_kinematics(model: Model, qpos: jax.Array):
     return Kinematics(tuple(X_up), tuple(E), tuple(p), tuple(S))
 
 
-def _body_inertias(model: Model) -> list[jax.Array]:
-    return [
-        spatial_inertia(
+def _body_inertias(model: Model, params=None) -> list[jax.Array]:
+    """Per-body [6,6] spatial inertias; ``params``
+    (:class:`~nnx_ppo_tpu.physics.randomize.DomainParams`) optionally
+    scales them (density scale — mass and rotational inertia together,
+    so the COM and the inertia SHAPE stay physical)."""
+    out = []
+    for i in range(model.n_bodies):
+        I = spatial_inertia(
             jnp.float32(model.mass[i]),
             jnp.asarray(model.com[i], jnp.float32),
             jnp.asarray(model.inertia[i], jnp.float32),
         )
-        for i in range(model.n_bodies)
-    ]
+        if params is not None:
+            s = params.body_scale(i)
+            if s is not None:
+                I = I * s
+        out.append(I)
+    return out
 
 
 def body_velocities(model: Model, kin, qvel: jax.Array) -> list:
@@ -135,10 +144,16 @@ def body_velocities(model: Model, kin, qvel: jax.Array) -> list:
     return v
 
 
-def bias_forces(model: Model, kin, qvel: jax.Array, v: list) -> jax.Array:
-    """RNEA with q̈=0: Coriolis + centrifugal + gravity + joint damping."""
+def bias_forces(
+    model: Model, kin, qvel: jax.Array, v: list, params=None
+) -> jax.Array:
+    """RNEA with q̈=0: Coriolis + centrifugal + gravity + joint damping.
+
+    ``params``: optional per-env
+    :class:`~nnx_ppo_tpu.physics.randomize.DomainParams` (inertia /
+    damping scales)."""
     NB = model.n_bodies
-    I = _body_inertias(model)
+    I = _body_inertias(model, params)
     # Gravity trick: give the world an upward pseudo-acceleration.
     a_world = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, -model.gravity], jnp.float32)
     a, f = [], []
@@ -157,14 +172,17 @@ def bias_forces(model: Model, kin, qvel: jax.Array, v: list) -> jax.Array:
     # dof_slices are contiguous in body order → one concat, no
     # dynamic-update-slices.
     C = jnp.concatenate(per_body)
-    return C + jnp.asarray(model.damping, jnp.float32) * qvel
+    return C + _scaled_damping(model, params) * qvel
 
 
-def mass_matrix(model: Model, kin) -> jax.Array:
-    """CRBA joint-space inertia + armature diagonal."""
+def mass_matrix(model: Model, kin, params=None) -> jax.Array:
+    """CRBA joint-space inertia + armature diagonal. ``params``
+    optionally scales the body inertias (armature — rotor inertia, a
+    motor property — is deliberately NOT mass-scaled; randomize
+    ``gain_scale`` for motor variation instead)."""
     NB = model.n_bodies
     slices = model.dof_slices()
-    Ic = list(_body_inertias(model))
+    Ic = list(_body_inertias(model, params))
     for i in reversed(range(NB)):
         parent = model.parent[i]
         if parent >= 0:
@@ -186,7 +204,7 @@ def mass_matrix(model: Model, kin) -> jax.Array:
 
 
 def contact_generalized_forces(
-    model: Model, kin, v: list, terrain=None
+    model: Model, kin, v: list, terrain=None, params=None
 ) -> tuple[jax.Array, jax.Array]:
     """Penalty contacts → (generalized force [nv], per-contact normal
     force [NG + NP] for metrics/termination: the NG ground contacts
@@ -206,6 +224,11 @@ def contact_generalized_forces(
     f_ext: list = [None] * model.n_bodies
     normals = []
     centers = geom_world_centers(model, kin)
+    # Friction coefficient: per-env override (DomainParams) or the
+    # static Model constant — a traced scalar either way below.
+    friction = model.friction
+    if params is not None and params.friction is not None:
+        friction = params.friction
 
     def point_velocity(b: int, r_local: jax.Array) -> jax.Array:
         return body_point_velocity(kin, v, b, r_local)
@@ -251,7 +274,7 @@ def contact_generalized_forces(
                 fn = jnp.minimum(fn, model.max_contact_force)
             vt = v_pt[:2]
             vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
-            ft = -model.friction * fn * vt / jnp.maximum(
+            ft = -friction * fn * vt / jnp.maximum(
                 vt_norm, model.friction_vel
             )
             f_w = jnp.concatenate([ft, fn[None]])
@@ -279,7 +302,7 @@ def contact_generalized_forces(
                 fn = jnp.minimum(fn, model.max_contact_force)
             vt = v_pt - vn * n
             vt_norm = jnp.sqrt(jnp.sum(vt**2) + 1e-6)
-            ft = -model.friction * fn * vt / jnp.maximum(
+            ft = -friction * fn * vt / jnp.maximum(
                 vt_norm, model.friction_vel
             )
             f_w = fn * n + ft
@@ -300,7 +323,7 @@ def contact_generalized_forces(
             jnp.float32(model.geom_radius[gb]),
             stiffness=model.contact_stiffness,
             damping=model.contact_damping,
-            friction=model.friction,
+            friction=friction,
             friction_vel=model.friction_vel,
             max_force=model.max_contact_force,
             va_fn=lambda c, b=ba: point_velocity(b, kin.E[b].T @ (c - kin.p[b])),
@@ -447,18 +470,29 @@ def limit_torques(
     return tau * jnp.asarray(limited)
 
 
-def mass_matrix_factor(model: Model, qpos: jax.Array, *, dt: float) -> jax.Array:
+def mass_matrix_factor(
+    model: Model, qpos: jax.Array, *, dt: float, params=None
+) -> jax.Array:
     """Lower-Cholesky factor of ``M(q) + dt·D`` — for callers that hold
     the factor across several substeps (see ``forward_dynamics``
     ``chol=``). ``dt`` is required (keyword-only): the implicit
     joint-damping term is baked into the factor, so it MUST match the
     integration step the factor will be used with — pass ``dt=0.0``
-    explicitly for undamped continuous dynamics."""
+    explicitly for undamped continuous dynamics. ``params``: optional
+    per-env :class:`~nnx_ppo_tpu.physics.randomize.DomainParams` — must
+    match the params later passed to ``forward_dynamics``."""
     kin = fwd_kinematics(model, qpos)
-    M = mass_matrix(model, kin)
+    M = mass_matrix(model, kin, params)
     if dt:
-        M = M + dt * jnp.diag(jnp.asarray(model.damping, jnp.float32))
+        M = M + dt * jnp.diag(_scaled_damping(model, params))
     return cholesky_factor_blocked(M)
+
+
+def _scaled_damping(model: Model, params=None) -> jax.Array:
+    damping = jnp.asarray(model.damping, jnp.float32)
+    if params is not None and params.damping_scale is not None:
+        damping = damping * params.damping_scale
+    return damping
 
 
 def forward_dynamics(
@@ -470,9 +504,15 @@ def forward_dynamics(
     chol: Optional[jax.Array] = None,
     external_forces: Optional[list] = None,
     terrain=None,
+    params=None,
 ) -> tuple[jax.Array, jax.Array]:
     """``(M + dt·D) q̈ = τ_applied + τ_contact − C`` (D = joint damping);
     also returns per-contact normal forces (ground geoms, then pairs).
+
+    ``params``: optional per-env
+    :class:`~nnx_ppo_tpu.physics.randomize.DomainParams` overrides
+    (mass/damping scale, friction). ``None`` compiles to exactly the
+    un-randomized program.
 
     ``terrain``: optional heightfield ground
     (:mod:`nnx_ppo_tpu.physics.terrain`); ``None`` = flat z=0 plane.
@@ -499,8 +539,8 @@ def forward_dynamics(
     is given, the ``dt`` argument here is not consulted."""
     kin = fwd_kinematics(model, qpos)
     v = body_velocities(model, kin, qvel)
-    C = bias_forces(model, kin, qvel, v)
-    tau_c, normals = contact_generalized_forces(model, kin, v, terrain)
+    C = bias_forces(model, kin, qvel, v, params)
+    tau_c, normals = contact_generalized_forces(model, kin, v, terrain, params)
     rhs = tau_applied + tau_c - C
     tau_l = limit_torques(model, qpos, qvel)
     if tau_l is not None:
@@ -511,9 +551,9 @@ def forward_dynamics(
         rhs = rhs + project_world_point_forces(model, kin, external_forces)
     if chol is not None:
         return cholesky_backsub(chol, rhs), normals
-    M = mass_matrix(model, kin)
+    M = mass_matrix(model, kin, params)
     if dt:
-        M = M + dt * jnp.diag(jnp.asarray(model.damping, jnp.float32))
+        M = M + dt * jnp.diag(_scaled_damping(model, params))
     qacc = cholesky_solve_small(M, rhs)
     return qacc, normals
 
@@ -570,14 +610,17 @@ def step(
     dt: float,
     n_substeps: int = 1,
     terrain=None,
+    params=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Advance ``n_substeps`` physics steps of ``dt`` under constant
-    applied torque. Returns (qpos, qvel, last normal forces)."""
+    applied torque. Returns (qpos, qvel, last normal forces).
+    ``params``: optional per-env domain-randomization overrides."""
 
     def substep(carry, _):
         qp, qv = carry
         qacc, normals = forward_dynamics(
-            model, qp, qv, tau_applied, dt=dt, terrain=terrain
+            model, qp, qv, tau_applied, dt=dt, terrain=terrain,
+            params=params,
         )
         qp, qv = integrate(model, qp, qv, qacc, dt)
         return (qp, qv), normals
