@@ -42,34 +42,71 @@ from nnx_ppo_tpu.networks import (
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
 
-def make_net(obs_spec, action_size, key: jax.Array):
-    k = jax.random.split(key, 8)
+def _encoder(obs_spec, keys, *, privileged: bool):
+    """Concat encoder over the obs streams; ``privileged`` controls
+    whether the DR-draw stream is consumed (Concat children index the
+    obs dict by name, so extra keys are simply ignored)."""
     streams = dict(
-        proprio=Dense.create(obs_spec["proprio"], 256, k[0], jax.nn.swish),
-        command=Dense.create(obs_spec["command"], 32, k[1], jax.nn.swish),
+        proprio=Dense.create(obs_spec["proprio"], 256, keys[0], jax.nn.swish),
+        command=Dense.create(obs_spec["command"], 32, keys[1], jax.nn.swish),
     )
     width = 288
     if "height_scan" in obs_spec:
         streams["height_scan"] = Dense.create(
-            obs_spec["height_scan"], 64, k[7], jax.nn.swish
+            obs_spec["height_scan"], 64, keys[2], jax.nn.swish
         )
         width += 64
-    enc = Concat.create(**streams)
-    actor = Sequential.create([
-        Dense.create(width, 128, k[2], jax.nn.swish),
-        Dense.create(128, 2 * action_size, k[3]),
-        NormalTanhSampler.create(k[4], entropy_weight=2e-3, min_std=0.1),
-    ])
-    critic = Parallel.create(
-        tracking=make_mlp([width, 256, 1], k[5], jax.nn.swish,
-                          activation_last_layer=False),
-        penalty=make_mlp([width, 256, 1], k[6], jax.nn.swish,
-                         activation_last_layer=False),
-    )
+    if privileged:
+        streams["privileged"] = Dense.create(
+            obs_spec["privileged"], 16, keys[3], jax.nn.swish
+        )
+        width += 16
+    return Concat.create(**streams), width
+
+
+def make_net(obs_spec, action_size, key: jax.Array,
+             asymmetric: bool = False):
+    """Actor-critic for the legged envs. With ``asymmetric=True`` (and a
+    ``privileged`` obs stream from ``privileged_obs=True``) the critic
+    gets its own encoder consuming the per-episode DR draw while the
+    actor stays blind to it — asymmetric actor-critic: the value
+    function conditions on sim-only physics truth, the policy remains
+    deployable."""
+    k = jax.random.split(key, 13)
+    asymmetric = asymmetric and "privileged" in obs_spec
+
+    def actor_head(width, keys):
+        return [
+            Dense.create(width, 128, keys[0], jax.nn.swish),
+            Dense.create(128, 2 * action_size, keys[1]),
+            NormalTanhSampler.create(keys[2], entropy_weight=2e-3,
+                                     min_std=0.1),
+        ]
+
+    def critic_head(width, keys):
+        return Parallel.create(
+            tracking=make_mlp([width, 256, 1], keys[0], jax.nn.swish,
+                              activation_last_layer=False),
+            penalty=make_mlp([width, 256, 1], keys[1], jax.nn.swish,
+                             activation_last_layer=False),
+        )
+
+    if asymmetric:
+        enc_a, width_a = _encoder(obs_spec, k[0:4], privileged=False)
+        enc_c, width_c = _encoder(obs_spec, k[4:8], privileged=True)
+        adapter = PPOAdapter.create(
+            action=Sequential.create([enc_a, *actor_head(width_a, k[8:11])]),
+            value=Sequential.create([enc_c, critic_head(width_c, k[11:13])]),
+        )
+        return Sequential.create([Normalizer.create(obs_spec), adapter])
+    enc, width = _encoder(obs_spec, k[0:4], privileged=False)
     return Sequential.create([
         Normalizer.create(obs_spec),
         enc,
-        PPOAdapter.create(action=actor, value=critic),
+        PPOAdapter.create(
+            action=Sequential.create(actor_head(width, k[8:11])),
+            value=critic_head(width, k[11:13]),
+        ),
     ])
 
 
@@ -101,6 +138,9 @@ def main() -> None:
     parser.add_argument("--randomize", action="store_true",
                         help="per-episode domain randomization (mass/"
                         "friction/damping/gain — physics/randomize.py)")
+    parser.add_argument("--privileged", action="store_true",
+                        help="asymmetric actor-critic: critic observes "
+                        "the DR draw (implies --randomize)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -113,7 +153,7 @@ def main() -> None:
             "_rough" if args.rough else ""
         ) + ("_stairs" if args.stairs else "") + (
             "_dr" if args.randomize else ""
-        )
+        ) + ("_priv" if args.privileged else "")
         args.out = os.path.join(
             os.path.dirname(__file__),
             f"../benchmarks/results/{args.env}{suffix}_curve.csv",
@@ -133,6 +173,8 @@ def main() -> None:
             terrain=stairs(step_height=0.06, step_length=0.4),
             height_scan=5,
         )
+    if args.privileged:
+        args.randomize = True
     if args.randomize:
         from nnx_ppo_tpu.physics import DomainRandomization
 
@@ -142,6 +184,7 @@ def main() -> None:
             damping_scale=(0.9, 1.1),
             gain_scale=(0.9, 1.1),
         )
+        extra["privileged_obs"] = args.privileged
     inner = env_cls(
         reuse_mass_matrix=args.fast_mass_matrix,
         self_collision=args.full_contact,
@@ -150,7 +193,7 @@ def main() -> None:
     )
     env = EpisodeWrapper(inner, max_len=500)
     net = make_net(inner.observation_size, inner.action_size,
-                   jax.random.key(args.seed))
+                   jax.random.key(args.seed), asymmetric=args.privileged)
     cfg = TrainConfig(
         ppo=PPOConfig(
             n_envs=args.n_envs,

@@ -25,6 +25,7 @@ from nnx_ppo_tpu.physics.engine import (
     mass_matrix_factor,
 )
 from nnx_ppo_tpu.physics.model import Model
+from nnx_ppo_tpu.physics.randomize import privileged_vector
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
 
 
@@ -65,6 +66,7 @@ class LeggedJoystick:
         height_scan: int = 0,
         height_scan_extent: float = 0.45,
         randomize=None,
+        privileged_obs: bool = False,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -120,6 +122,14 @@ class LeggedJoystick:
         # one XLA program; the policy does NOT observe the draw (train
         # for robustness, not system identification).
         self.randomize = randomize
+        # Asymmetric actor-critic support: expose the episode's DR draw
+        # as an obs["privileged"] stream (physics truth that exists only
+        # in sim). Route it to the critic only with a Filter head — the
+        # value function stops paying variance for unobservable
+        # dynamics while the policy stays deployable.
+        self.privileged_obs = privileged_obs
+        if privileged_obs and randomize is None:
+            raise ValueError("privileged_obs requires randomize=")
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         if height_scan > 0:
             lin = jnp.linspace(-height_scan_extent, height_scan_extent,
@@ -130,6 +140,10 @@ class LeggedJoystick:
             )  # [n², 2] trunk-frame offsets
             self.observation_size = dict(
                 self.observation_size, height_scan=height_scan * height_scan
+            )
+        if privileged_obs:
+            self.observation_size = dict(
+                self.observation_size, privileged=randomize.dim
             )
         self.action_size = self.n_act
 
@@ -175,6 +189,8 @@ class LeggedJoystick:
         obs = {"proprio": proprio, "command": q["cmd"]}
         if self.height_scan > 0:
             obs["height_scan"] = self._height_scan_obs(qpos)
+        if self.privileged_obs:
+            obs["privileged"] = privileged_vector(q["dr"])
         return obs
 
     def _reward(self, q: dict, action: jax.Array, prev_action: jax.Array):

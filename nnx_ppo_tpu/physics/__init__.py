@@ -18,7 +18,11 @@ from nnx_ppo_tpu.physics.model import (
     Model,
     ModelBuilder,
 )
-from nnx_ppo_tpu.physics.randomize import DomainParams, DomainRandomization
+from nnx_ppo_tpu.physics.randomize import (
+    DomainParams,
+    DomainRandomization,
+    privileged_vector,
+)
 from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
 from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain, stairs
 

@@ -115,6 +115,16 @@ class DomainRandomization:
             ),
         )
 
+    @property
+    def dim(self) -> int:
+        """Length of :func:`privileged_vector` for draws from this
+        config (one scalar per randomized field)."""
+        return sum(
+            r is not None
+            for r in (self.mass_scale, self.friction, self.damping_scale,
+                      self.gain_scale)
+        )
+
     def identity(self, model):
         """Params pinned to 1×/Model values — same pytree structure as
         :meth:`sample` (required by ``tree_where`` auto-reset), but the
@@ -133,3 +143,28 @@ class DomainRandomization:
             damping_scale=one if self.damping_scale is not None else None,
             gain_scale=one if self.gain_scale is not None else None,
         )
+
+
+def privileged_vector(params) -> jax.Array:
+    """Flatten a :class:`DomainParams` draw's non-None fields into one
+    obs vector (fixed field order, scalars and per-body arrays alike;
+    the argument is unannotated — the suite's typeguard hook cannot
+    check NamedTuples of tracers).
+
+    The standard asymmetric actor-critic setup: the CRITIC observes the
+    true physics of its env (a privileged signal that exists only in
+    sim), the actor does not — the value function stops paying variance
+    for dynamics it cannot infer, while the policy stays deployable.
+    Envs expose this as an ``obs["privileged"]`` stream
+    (``LeggedJoystick(privileged_obs=True)``); route it away from the
+    actor with a ``Filter`` head (see ``examples/legged_training.py``).
+    """
+    parts = [
+        jnp.atleast_1d(x)
+        for x in (params.mass_scale, params.friction,
+                  params.damping_scale, params.gain_scale)
+        if x is not None
+    ]
+    if not parts:
+        raise ValueError("privileged_vector of an all-None DomainParams")
+    return jnp.concatenate(parts)
