@@ -141,6 +141,11 @@ def main() -> None:
     parser.add_argument("--privileged", action="store_true",
                         help="asymmetric actor-critic: critic observes "
                         "the DR draw (implies --randomize)")
+    parser.add_argument("--obs-noise", type=float, default=0.0,
+                        help="sensor-noise std on proprio/height_scan")
+    parser.add_argument("--push", action="store_true",
+                        help="random trunk pushes (disturbance "
+                        "rejection: 80 N, p=0.05 per control step)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     if args.cpu:
@@ -185,6 +190,11 @@ def main() -> None:
             gain_scale=(0.9, 1.1),
         )
         extra["privileged_obs"] = args.privileged
+    if args.obs_noise > 0.0:
+        extra["obs_noise"] = args.obs_noise
+    if args.push:
+        extra["push_prob"] = 0.05
+        extra["push_force"] = 80.0
     inner = env_cls(
         reuse_mass_matrix=args.fast_mass_matrix,
         self_collision=args.full_contact,

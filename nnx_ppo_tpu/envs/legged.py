@@ -67,6 +67,9 @@ class LeggedJoystick:
         height_scan_extent: float = 0.45,
         randomize=None,
         privileged_obs: bool = False,
+        obs_noise: float = 0.0,
+        push_prob: float = 0.0,
+        push_force: float = 0.0,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -130,6 +133,19 @@ class LeggedJoystick:
         self.privileged_obs = privileged_obs
         if privileged_obs and randomize is None:
             raise ValueError("privileged_obs requires randomize=")
+        # Sensor-noise model: zero-mean Gaussian of this std added to
+        # the proprio (and height_scan) obs streams every step — the
+        # underlying state stays clean (it is the SENSOR that is noisy,
+        # so replay sees exactly what the policy saw). 0.0 = off, zero
+        # cost (trace-time gate).
+        self.obs_noise = obs_noise
+        # Random pushes: with probability push_prob per control step, a
+        # horizontal force of push_force Newtons in a uniform-random
+        # heading is applied at the trunk origin for the whole control
+        # step (through the engine's external_forces hook) — the
+        # standard disturbance-rejection curriculum for locomotion.
+        self.push_prob = push_prob
+        self.push_force = push_force
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         if height_scan > 0:
             lin = jnp.linspace(-height_scan_extent, height_scan_extent,
@@ -173,7 +189,7 @@ class LeggedJoystick:
             key, (3,), minval=-1.0, maxval=1.0
         )
 
-    def _obs(self, q: dict) -> dict:
+    def _obs(self, q: dict, noise_key=None) -> dict:
         qpos, qvel = q["qpos"], q["qvel"]
         E = quat_to_rot(qpos[3:7])  # world_R_trunk
         gravity_dir = E.T @ jnp.array([0.0, 0.0, -1.0])
@@ -189,6 +205,17 @@ class LeggedJoystick:
         obs = {"proprio": proprio, "command": q["cmd"]}
         if self.height_scan > 0:
             obs["height_scan"] = self._height_scan_obs(qpos)
+        if self.obs_noise > 0.0:
+            # Sensor noise on the measured streams; the command (an
+            # internal signal) and privileged stream stay clean.
+            kp, ks = jax.random.split(noise_key)
+            obs["proprio"] = obs["proprio"] + self.obs_noise * (
+                jax.random.normal(kp, obs["proprio"].shape)
+            )
+            if self.height_scan > 0:
+                obs["height_scan"] = obs["height_scan"] + self.obs_noise * (
+                    jax.random.normal(ks, obs["height_scan"].shape)
+                )
         if self.privileged_obs:
             obs["privileged"] = privileged_vector(q["dr"])
         return obs
@@ -231,6 +258,7 @@ class LeggedJoystick:
         action: jax.Array,
         prev_action: jax.Array,
         foot_normals: jax.Array | None = None,
+        noise_key=None,
     ) -> State:
         # foot_normals: per-foot ground normal forces [n_feet] from the
         # last physics substep (None at reset → zeros keeps the metric
@@ -240,7 +268,7 @@ class LeggedJoystick:
             foot_normals = jnp.zeros(self.n_feet)
         return State(
             data=q,
-            obs=self._obs(q),
+            obs=self._obs(q, noise_key),
             reward=self._reward(q, action, prev_action),
             done=self._done(q),
             info={},
@@ -343,7 +371,9 @@ class LeggedJoystick:
     # -- protocol ---------------------------------------------------------
 
     def reset(self, rng: jax.Array) -> State:
-        k_pose, k_vel, k_cmd, k_carry, k_xy, k_dr = jax.random.split(rng, 6)
+        k_pose, k_vel, k_cmd, k_carry, k_xy, k_dr, k_noise = (
+            jax.random.split(rng, 7)
+        )
         joint_noise = self.reset_joint_noise * jax.random.normal(
             k_pose, (self.n_act,)
         )
@@ -375,7 +405,7 @@ class LeggedJoystick:
         if self.randomize is not None:
             q["dr"] = self.randomize.sample(k_dr)
         zero = jnp.zeros(self.n_act)
-        return self._state(q, zero, zero)
+        return self._state(q, zero, zero, noise_key=k_noise)
 
     def step(self, state: State, action: jax.Array) -> State:
         q = state.data
@@ -392,15 +422,32 @@ class LeggedJoystick:
             else None
         )
 
+        if self.push_force > 0.0:
+            k_push, k_dir, key_rest = jax.random.split(q["key"], 3)
+            pushing = jax.random.bernoulli(k_push, self.push_prob)
+            theta = jax.random.uniform(k_dir, (), minval=0.0,
+                                       maxval=2.0 * jnp.pi)
+            f_push = (
+                pushing.astype(jnp.float32)
+                * self.push_force
+                * jnp.array([jnp.cos(theta), jnp.sin(theta), 0.0])
+            )
+        else:
+            f_push, key_rest = None, q["key"]
+
         def substep(carry, _):
             qp, qv = carry
             # PD recomputed every physics substep against the held
             # target (P explicit; D implicit via model joint damping).
             tau_j = gain * self.kp * (target - qp[7:])
             tau = jnp.concatenate([jnp.zeros(6), tau_j])
+            # Disturbance push: a world-frame point force at the trunk
+            # origin, held for the control step (zero when not pushing
+            # — branch-free; absent from the trace when push_force=0).
+            ext = [(0, qp[0:3], f_push)] if f_push is not None else None
             qacc, normals = forward_dynamics(
                 self.model, qp, qv, tau, dt=self.physics_dt, chol=chol,
-                terrain=self.terrain, params=dr,
+                terrain=self.terrain, params=dr, external_forces=ext,
             )
             qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
             return (qp, qv), normals[: self.n_feet]
@@ -408,7 +455,9 @@ class LeggedJoystick:
         (qpos, qvel), foot_normals = jax.lax.scan(
             substep, (q["qpos"], q["qvel"]), None, length=self.n_substeps
         )
-        resample_key, cmd_key, carry_key = jax.random.split(q["key"], 3)
+        resample_key, cmd_key, noise_key, carry_key = jax.random.split(
+            key_rest, 4
+        )
         resample = jax.random.bernoulli(
             resample_key, self.command_resample_prob
         )
@@ -423,5 +472,6 @@ class LeggedJoystick:
         if dr is not None:
             new_q["dr"] = dr  # draw is per-episode; reset resamples
         return self._state(
-            new_q, action, q["prev_action"], foot_normals=foot_normals[-1]
+            new_q, action, q["prev_action"],
+            foot_normals=foot_normals[-1], noise_key=noise_key,
         )

@@ -374,3 +374,75 @@ class TestArmReacher:
         ts, metrics = _ppo_smoke(env, net, n_envs=8, rollout_length=4,
                                  n_steps=1)
         assert jnp.isfinite(metrics["losses/actor/mean"])
+
+
+class TestRobustnessTools:
+    """Sensor noise + push disturbances (sim-to-real training aids)."""
+
+    def test_obs_noise_applies_to_sensors_only(self):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        clean = QuadrupedJoystick()
+        noisy = QuadrupedJoystick(obs_noise=0.05)
+        key = jax.random.key(0)
+        s_clean, s_noisy = clean.reset(key), noisy.reset(key)
+        # Same underlying state (the sensor is noisy, not the world)...
+        np.testing.assert_array_equal(
+            np.asarray(s_clean.data["qpos"]), np.asarray(s_noisy.data["qpos"])
+        )
+        # ...different proprio reading, clean command channel.
+        d = np.asarray(s_noisy.obs["proprio"] - s_clean.obs["proprio"])
+        assert 0.0 < np.abs(d).max() < 0.5
+        np.testing.assert_array_equal(
+            np.asarray(s_clean.obs["command"]), np.asarray(s_noisy.obs["command"])
+        )
+        # Fresh draw each step (no frozen noise pattern).
+        n1 = jax.jit(noisy.step)(s_noisy, jnp.zeros(12))
+        n2 = jax.jit(noisy.step)(n1, jnp.zeros(12))
+        assert not np.allclose(
+            np.asarray(n1.obs["proprio"] - jax.jit(clean.step)(s_clean, jnp.zeros(12)).obs["proprio"]),
+            np.asarray(n2.obs["proprio"] - jax.jit(clean.step)(jax.jit(clean.step)(s_clean, jnp.zeros(12)), jnp.zeros(12)).obs["proprio"]),
+        )
+
+    def test_push_changes_trunk_velocity(self):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        base = QuadrupedJoystick()
+        pushed = QuadrupedJoystick(push_prob=1.0, push_force=150.0)
+        key = jax.random.key(1)
+        s0 = base.reset(key)
+        a = jnp.zeros(12)
+        v_base = jax.jit(base.step)(s0, a).data["qvel"][3:5]
+        v_push = jax.jit(pushed.step)(s0, a).data["qvel"][3:5]
+        # A 150 N horizontal shove for 20 ms on a ~15 kg robot moves the
+        # planar velocity by ~0.2 m/s.
+        assert float(jnp.linalg.norm(v_push - v_base)) > 0.05
+
+    def test_push_prob_zero_force_positive_still_pushless(self):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        base = QuadrupedJoystick()
+        gated = QuadrupedJoystick(push_prob=0.0, push_force=150.0)
+        key = jax.random.key(2)
+        s0 = base.reset(key)
+        a = jnp.zeros(12)
+        qv_b = jax.jit(base.step)(s0, a).data["qvel"]
+        qv_g = jax.jit(gated.step)(s0, a).data["qvel"]
+        # bernoulli(p=0) never fires: dynamics match the push-free env
+        # (the push env consumes an extra RNG split, so compare physics,
+        # which is key-independent given the same start state/action).
+        np.testing.assert_allclose(np.asarray(qv_b), np.asarray(qv_g),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_trains_with_all_tools(self):
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+        from nnx_ppo_tpu.physics import DomainRandomization
+
+        env = QuadrupedJoystick(
+            randomize=DomainRandomization(), obs_noise=0.02,
+            push_prob=0.1, push_force=40.0, reuse_mass_matrix=True,
+        )
+        _ppo_smoke(
+            EpisodeWrapper(env, max_len=40), _quadruped_net(jax.random.key(3)),
+            combine_advantages=True,
+        )
