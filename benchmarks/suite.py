@@ -141,6 +141,7 @@ def _legged_physics(
     joint_limits=False,
     rough=False,
     height_scan=0,
+    randomize=False,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -159,6 +160,13 @@ def _legged_physics(
                                          wavelength=1.5)
         if height_scan:
             extra["height_scan"] = height_scan
+    if randomize:
+        from nnx_ppo_tpu.physics import DomainRandomization
+
+        extra["randomize"] = DomainRandomization(
+            mass_scale=(0.8, 1.2), friction=(0.4, 1.0),
+            damping_scale=(0.9, 1.1), gain_scale=(0.9, 1.1),
+        )
     env = EpisodeWrapper(
         env_cls(
             reuse_mass_matrix=reuse_mass_matrix,
@@ -284,6 +292,12 @@ CONFIGS = {
     # normal/penetration instead of the flat-plane fast path.
     "quadruped_2048_rough": functools.partial(
         _legged_physics, "quadruped", rough=True
+    ),
+    # Per-env domain randomization: measures the marginal cost of the
+    # traced mass/friction/damping/gain overrides ([B]-broadcast
+    # multiplies in every substep) + per-episode resampling.
+    "quadruped_2048_dr": functools.partial(
+        _legged_physics, "quadruped", randomize=True
     ),
     "population_graph": _population_graph,
     "reacher_4096": _reacher_4096,

@@ -201,12 +201,17 @@ class TestShardedParity:
 
 
 class TestShardedPhysics:
-    def test_quadruped_trains_on_mesh(self):
+    @pytest.mark.parametrize("randomized", [False, True])
+    def test_quadruped_trains_on_mesh(self, randomized):
         """The contact-rich physics env (CRBA/RNEA/contacts per substep)
         shards over the 8-virtual-device data mesh like any analytic
         env: one sharded ppo_step with a dict-obs multi-stream net runs
-        to completion with finite losses."""
+        to completion with finite losses. ``randomized=True`` adds
+        per-env domain randomization — the DomainParams NamedTuple in
+        the env state must shard over the data axis like every other
+        per-env leaf."""
         from nnx_ppo_tpu.envs import QuadrupedJoystick
+        from nnx_ppo_tpu.physics import DomainRandomization
         from nnx_ppo_tpu.networks import (
             Concat,
             Dense,
@@ -218,7 +223,12 @@ class TestShardedPhysics:
         )
 
         mesh = make_mesh(8)
-        env = EpisodeWrapper(QuadrupedJoystick(), 50)
+        env = EpisodeWrapper(
+            QuadrupedJoystick(
+                randomize=DomainRandomization() if randomized else None
+            ),
+            50,
+        )
         k = jax.random.split(jax.random.key(0), 7)
         enc = Concat.create(
             proprio=Dense.create(42, 32, k[0], jax.nn.relu),
