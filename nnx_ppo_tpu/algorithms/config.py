@@ -38,6 +38,12 @@ class PPOConfig:
     n_epochs: int = 4
     n_minibatches: int = 4
     critic_loss_weight: float = 1.0
+    # Linearly decay the learning rate to 0 over the run (the classic
+    # PPO schedule; off by default to match the reference's fixed lr).
+    # The decay horizon is derived from total_steps at train_ppo time
+    # (one schedule step per minibatch update). Ignored when a custom
+    # ``optimizer=`` is passed.
+    anneal_lr: bool = False
     gradient_clipping: Optional[float] = None
     weight_decay: Optional[float] = None
     logging_level: LoggingLevel = LoggingLevel.LOSSES

@@ -92,7 +92,7 @@ def _should_run(steps: int, last_step: int, every_steps: int) -> bool:
 
 
 def make_optimizer(
-    learning_rate: float,
+    learning_rate: Any,  # float or optax schedule
     gradient_clipping: Optional[float] = None,
     weight_decay: Optional[float] = None,
     flatten: bool = False,
@@ -499,15 +499,33 @@ def train_ppo(
     if eval_env is None:
         eval_env = env
 
+    if optimizer is None:
+        learning_rate: Any = config.ppo.learning_rate
+        if config.ppo.anneal_lr:
+            # One schedule step per minibatch update; decay linearly to
+            # 0 over the whole run. ceil() so the lr never actually
+            # reaches 0 mid-run when total_steps isn't a multiple of
+            # the per-iteration step count.
+            steps_per_iter = config.ppo.n_envs * config.ppo.rollout_length
+            n_iters = -(-config.ppo.total_steps // steps_per_iter)
+            n_updates = n_iters * config.ppo.n_epochs * config.ppo.n_minibatches
+            learning_rate = optax.linear_schedule(
+                init_value=config.ppo.learning_rate,
+                end_value=0.0,
+                transition_steps=max(n_updates, 1),
+            )
+        optimizer = make_optimizer(
+            learning_rate,
+            config.ppo.gradient_clipping,
+            config.ppo.weight_decay,
+        )
+
     if initial_state is None:
         training_state = new_training_state(
             env,
             networks,
             config.ppo.n_envs,
             config.seed,
-            config.ppo.learning_rate,
-            config.ppo.gradient_clipping,
-            config.ppo.weight_decay,
             mesh=mesh,
             optimizer=optimizer,
         )
@@ -519,13 +537,6 @@ def train_ppo(
     # restored checkpoint) so donation never invalidates buffers the
     # caller still holds.
     training_state = jax.tree.map(jnp.copy, training_state)
-
-    if optimizer is None:
-        optimizer = make_optimizer(
-            config.ppo.learning_rate,
-            config.ppo.gradient_clipping,
-            config.ppo.weight_decay,
-        )
 
     if config.ppo.steps_per_call > 1:
         # return_history: per-iteration metrics come back as [steps_per_

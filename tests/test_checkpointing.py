@@ -197,3 +197,38 @@ class TestTrainLoopIntegration:
             initial_state=restored["training_state"],
         )
         assert res2.total_steps > res.total_steps
+
+
+class TestPolicyExport:
+    def test_policy_only_roundtrip(self, tmp_path):
+        """The named-leaf format is generic over any pytree — saving
+        JUST the trained network gives a deployment artifact without
+        optimizer moments / env states (docs/checkpointing.md). Load
+        restores into a freshly-built architecture template."""
+        from nnx_ppo_tpu.algorithms.checkpointing import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+        from nnx_ppo_tpu.networks import make_mlp_actor_critic
+
+        net = make_mlp_actor_critic(2, 2, [16], [16], jax.random.key(7))
+        save_checkpoint(str(tmp_path / "policy"), net, step=0)
+
+        template = make_mlp_actor_critic(2, 2, [16], [16],
+                                         jax.random.key(99))
+        restored = load_checkpoint(str(tmp_path / "policy"), template)
+        loaded = restored["training_state"]  # generic pytree slot
+        # Compare key-data-normalized leaf values.
+        na = [np.asarray(jax.random.key_data(x))
+              if "key" in str(jnp.result_type(x)) else np.asarray(x)
+              for x in jax.tree.leaves(net)]
+        nb = [np.asarray(jax.random.key_data(x))
+              if "key" in str(jnp.result_type(x)) else np.asarray(x)
+              for x in jax.tree.leaves(loaded)]
+        for a, b in zip(na, nb):
+            np.testing.assert_array_equal(a, b)
+        # The wrong architecture fails loudly (named-path mismatch).
+        wrong = make_mlp_actor_critic(2, 2, [16, 16], [16],
+                                      jax.random.key(1))
+        with pytest.raises(ValueError, match="mismatch"):
+            load_checkpoint(str(tmp_path / "policy"), wrong)

@@ -223,3 +223,48 @@ def test_move_to_center_convergence():
     res = train_ppo(env, net, cfg)
     final = res.eval_history[-1]["episode_reward/mean"]
     assert final > 95, f"converged to {final}, expected > 95"
+
+
+class TestAnnealLR:
+    def test_schedule_counts_updates_and_trains(self):
+        import optax
+
+        env = EpisodeWrapper(MoveToCenterEnv(), 50)
+        net = make_net()
+        cfg = TrainConfig(
+            ppo=PPOConfig(n_envs=8, rollout_length=4, total_steps=128,
+                          n_epochs=2, n_minibatches=2, anneal_lr=True),
+            eval=EvalConfig(enabled=False),
+            video=VideoConfig(enabled=False),
+        )
+        res = train_ppo(env, net, cfg)
+        # 128 steps / (8 envs * 4) = 4 iterations * E2 * M2 = 16 updates:
+        # the schedule's count (the max count leaf in the optax state)
+        # must have advanced once per minibatch update.
+        counts = [
+            int(leaf)
+            for leaf in jax.tree.leaves(res.training_state.opt_state)
+            if jnp.ndim(leaf) == 0 and jnp.issubdtype(
+                jnp.asarray(leaf).dtype, jnp.integer)
+        ]
+        assert max(counts) == 16
+        assert jnp.isfinite(res.final_metrics["losses/actor/mean"])
+
+    def test_annealed_diverges_from_fixed_lr(self):
+        env = EpisodeWrapper(MoveToCenterEnv(), 50)
+
+        def run(anneal):
+            cfg = TrainConfig(
+                ppo=PPOConfig(n_envs=8, rollout_length=4, total_steps=256,
+                              n_epochs=2, n_minibatches=2,
+                              anneal_lr=anneal, learning_rate=1e-2),
+                eval=EvalConfig(enabled=False),
+                video=VideoConfig(enabled=False),
+            )
+            return train_ppo(env, make_net(), cfg)
+
+        p_fixed = jax.tree.leaves(run(False).training_state.networks)[0]
+        p_anneal = jax.tree.leaves(run(True).training_state.networks)[0]
+        # Later updates are shrunk by the decaying lr, so the params
+        # must differ from the fixed-lr run.
+        assert not np.allclose(np.asarray(p_fixed), np.asarray(p_anneal))
