@@ -142,6 +142,7 @@ def _legged_physics(
     rough=False,
     height_scan=0,
     randomize=False,
+    depthwise=None,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -172,6 +173,7 @@ def _legged_physics(
             reuse_mass_matrix=reuse_mass_matrix,
             self_collision=self_collision,
             joint_limits=joint_limits,
+            depthwise=depthwise,
             **extra,
         ),
         max_len=500,
@@ -272,6 +274,16 @@ CONFIGS = {
     "humanoid_2048": functools.partial(_legged_physics, "humanoid"),
     "quadruped_2048_fastM": functools.partial(
         _legged_physics, "quadruped", reuse_mass_matrix=True
+    ),
+    # Generic (body-sequential) engine pin, for comparing against the
+    # depth-wise batched default on supported models.
+    "quadruped_2048_fastM_generic": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        depthwise=False,
+    ),
+    "humanoid_2048_fastM_generic": functools.partial(
+        _legged_physics, "humanoid", reuse_mass_matrix=True,
+        depthwise=False,
     ),
     "quadruped_8192_fastM": functools.partial(
         _legged_physics, "quadruped", n_envs=8192, reuse_mass_matrix=True

@@ -24,6 +24,10 @@ from nnx_ppo_tpu.physics.engine import (
     integrate,
     mass_matrix_factor,
 )
+from nnx_ppo_tpu.physics.engine_depthwise import (
+    DepthPlan,
+    forward_dynamics_dw,
+)
 from nnx_ppo_tpu.physics.model import Model
 from nnx_ppo_tpu.physics.randomize import privileged_vector
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
@@ -70,6 +74,7 @@ class LeggedJoystick:
         obs_noise: float = 0.0,
         push_prob: float = 0.0,
         push_force: float = 0.0,
+        depthwise: bool | None = None,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -146,6 +151,23 @@ class LeggedJoystick:
         # standard disturbance-rejection curriculum for locomotion.
         self.push_prob = push_prob
         self.push_force = push_force
+        # Depth-wise batched dynamics (physics/engine_depthwise.py):
+        # bodies at equal tree depth computed as one [K, ...] batched op
+        # instead of K sequential chains — the substep's sequential
+        # kernel count drops ~n_bodies/depth-fold. None = auto (use it
+        # whenever the model is in the supported free-base/all-hinge/
+        # no-pairs family; exactness vs the generic engine is
+        # suite-tested); True = require (raise if unsupported);
+        # False = always the generic engine.
+        if depthwise is False:
+            self._plan = None
+        elif depthwise:
+            self._plan = DepthPlan.build(model)
+        else:
+            try:
+                self._plan = DepthPlan.build(model)
+            except ValueError:
+                self._plan = None
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         if height_scan > 0:
             lin = jnp.linspace(-height_scan_extent, height_scan_extent,
@@ -445,10 +467,18 @@ class LeggedJoystick:
             # origin, held for the control step (zero when not pushing
             # — branch-free; absent from the trace when push_force=0).
             ext = [(0, qp[0:3], f_push)] if f_push is not None else None
-            qacc, normals = forward_dynamics(
-                self.model, qp, qv, tau, dt=self.physics_dt, chol=chol,
-                terrain=self.terrain, params=dr, external_forces=ext,
-            )
+            if self._plan is not None:
+                qacc, normals = forward_dynamics_dw(
+                    self.model, self._plan, qp, qv, tau,
+                    dt=self.physics_dt, chol=chol, terrain=self.terrain,
+                    params=dr, external_forces=ext,
+                )
+            else:
+                qacc, normals = forward_dynamics(
+                    self.model, qp, qv, tau, dt=self.physics_dt,
+                    chol=chol, terrain=self.terrain, params=dr,
+                    external_forces=ext,
+                )
             qp, qv = integrate(self.model, qp, qv, qacc, self.physics_dt)
             return (qp, qv), normals[: self.n_feet]
 

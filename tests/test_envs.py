@@ -248,13 +248,18 @@ class TestQuadrupedJoystick:
         assert not np.asarray(states.done).any()
 
     def test_falls_when_folded(self):
-        """Driving all joints hard toward folded configuration drops and
-        tilts the trunk until termination triggers."""
+        """Folding the left legs while extending the right ones rolls
+        the trunk over until termination triggers. (The drive is
+        deliberately asymmetric: a symmetric fold settles into a stable
+        sit above the height threshold, and near-marginal poses flip
+        outcome on float-level engine differences.)"""
         from nnx_ppo_tpu.envs import QuadrupedJoystick
 
         env = QuadrupedJoystick()
         state = env.reset(jax.random.key(1))
-        action = jnp.tile(jnp.array([1.0, 1.0, 1.0]), 4)
+        fold, extend = [0.0, 1.0, -1.0], [0.0, -1.0, 1.0]
+        # Leg order FR, FL, RR, RL; fold the left (FL/RL) side.
+        action = jnp.asarray(extend + fold + extend + fold)
         step = jax.jit(env.step)
         done = 0.0
         for _ in range(100):

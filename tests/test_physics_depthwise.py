@@ -1,0 +1,176 @@
+"""The depth-wise batched engine must reproduce the generic engine's
+``forward_dynamics`` (qacc AND per-geom normal forces) on the real
+robot models across every supported feature combination."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnx_ppo_tpu.physics.engine import forward_dynamics, mass_matrix_factor
+from nnx_ppo_tpu.physics.engine_depthwise import (
+    DepthPlan,
+    forward_dynamics_dw,
+)
+from nnx_ppo_tpu.physics.models import make_humanoid, make_quadruped
+from nnx_ppo_tpu.physics.models import humanoid as hu
+from nnx_ppo_tpu.physics.models import quadruped as qd
+from nnx_ppo_tpu.physics.randomize import DomainParams
+from nnx_ppo_tpu.physics.terrain import rough_terrain
+
+
+def _random_states(model, default_qpos, B, seed=0):
+    k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+    base = jnp.asarray(default_qpos(model))
+    qpos = jnp.tile(base, (B, 1))
+    qpos = qpos.at[:, 7:].add(0.2 * jax.random.normal(k1, (B, model.nj)))
+    qpos = qpos.at[:, 2].add(0.05 * jax.random.normal(k3, (B,)))
+    qvel = 0.5 * jax.random.normal(k2, (B, model.nv))
+    tau = jnp.concatenate(
+        [
+            jnp.zeros((B, 6)),
+            2.0 * jax.random.normal(jax.random.key(seed + 1), (B, model.nj)),
+        ],
+        axis=-1,
+    )
+    return qpos, qvel, tau
+
+
+def _assert_matches(model, plan, qpos, qvel, tau, **kw):
+    """Batched generic vs depthwise forward dynamics agreement."""
+    dt = 0.002
+
+    ref = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t: forward_dynamics(model, qp, qv, t, dt=dt, **kw)
+        )
+    )(qpos, qvel, tau)
+    got = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t: forward_dynamics_dw(
+                model, plan, qp, qv, t, dt=dt, **kw
+            )
+        )
+    )(qpos, qvel, tau)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=2e-4, atol=2e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "make_model,default_qpos",
+    [(make_quadruped, qd.default_qpos), (make_humanoid, hu.default_qpos)],
+    ids=["quadruped", "humanoid"],
+)
+def test_matches_generic(make_model, default_qpos):
+    model = make_model()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, default_qpos, B=4)
+    _assert_matches(model, plan, qpos, qvel, tau)
+
+
+def test_matches_with_held_factor():
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=4)
+    dt = 0.002
+    chol = jax.jit(
+        jax.vmap(lambda q: mass_matrix_factor(model, q, dt=dt))
+    )(qpos)
+
+    ref = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t, L: forward_dynamics(
+                model, qp, qv, t, dt=dt, chol=L
+            )
+        )
+    )(qpos, qvel, tau, chol)
+    got = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t, L: forward_dynamics_dw(
+                model, plan, qp, qv, t, dt=dt, chol=L
+            )
+        )
+    )(qpos, qvel, tau, chol)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_matches_with_terrain():
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    terrain = rough_terrain(amplitude=0.06, seed=3)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=4, seed=5)
+    _assert_matches(model, plan, qpos, qvel, tau, terrain=terrain)
+
+
+def test_matches_with_joint_limits():
+    model = make_quadruped(joint_limits=True)
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=4, seed=7)
+    _assert_matches(model, plan, qpos, qvel, tau)
+
+
+def test_matches_with_domain_params():
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=1, seed=9)
+    params = DomainParams(
+        mass_scale=jnp.float32(1.15),
+        friction=jnp.float32(0.5),
+        damping_scale=jnp.float32(0.8),
+    )
+    dt = 0.002
+    ref = jax.jit(
+        lambda: forward_dynamics(
+            model, qpos[0], qvel[0], tau[0], dt=dt, params=params
+        )
+    )()
+    got = jax.jit(
+        lambda: forward_dynamics_dw(
+            model, plan, qpos[0], qvel[0], tau[0], dt=dt, params=params
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_matches_with_external_force():
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=1, seed=11)
+    qp, qv, t = qpos[0], qvel[0], tau[0]
+    push = [(0, qp[0:3], jnp.array([25.0, -10.0, 0.0]))]
+    dt = 0.002
+    ref = jax.jit(
+        lambda: forward_dynamics(
+            model, qp, qv, t, dt=dt, external_forces=push
+        )
+    )()
+    got = jax.jit(
+        lambda: forward_dynamics_dw(
+            model, plan, qp, qv, t, dt=dt, external_forces=push
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_unsupported_models_are_rejected():
+    model = make_quadruped(self_collision=True)
+    with pytest.raises(ValueError):
+        DepthPlan.build(model)
+
+    from nnx_ppo_tpu.physics.models.arm import make_arm
+
+    with pytest.raises(ValueError):
+        DepthPlan.build(make_arm())  # fixed base / ball joint
