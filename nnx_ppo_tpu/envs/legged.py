@@ -27,6 +27,7 @@ from nnx_ppo_tpu.physics.engine import (
 from nnx_ppo_tpu.physics.engine_depthwise import (
     DepthPlan,
     forward_dynamics_dw,
+    mass_matrix_inverse_dw,
 )
 from nnx_ppo_tpu.physics.model import Model
 from nnx_ppo_tpu.physics.randomize import privileged_vector
@@ -436,13 +437,21 @@ class LeggedJoystick:
         dr = q.get("dr") if self.randomize is not None else None
         gain = 1.0 if dr is None or dr.gain_scale is None else dr.gain_scale
 
-        chol = (
-            mass_matrix_factor(
-                self.model, q["qpos"], dt=self.physics_dt, params=dr
-            )
-            if self.reuse_mass_matrix
-            else None
-        )
+        chol = minv = None
+        if self.reuse_mass_matrix:
+            if self._plan is not None:
+                # Held EXPLICIT inverse: the per-substep solve becomes
+                # one batched matvec instead of 2·nv sequentially
+                # dependent substitution levels (the longest chain left
+                # in the depth-batched substep).
+                minv = mass_matrix_inverse_dw(
+                    self.model, self._plan, q["qpos"],
+                    dt=self.physics_dt, params=dr,
+                )
+            else:
+                chol = mass_matrix_factor(
+                    self.model, q["qpos"], dt=self.physics_dt, params=dr
+                )
 
         if self.push_force > 0.0:
             k_push, k_dir, key_rest = jax.random.split(q["key"], 3)
@@ -470,7 +479,7 @@ class LeggedJoystick:
             if self._plan is not None:
                 qacc, normals = forward_dynamics_dw(
                     self.model, self._plan, qp, qv, tau,
-                    dt=self.physics_dt, chol=chol, terrain=self.terrain,
+                    dt=self.physics_dt, minv=minv, terrain=self.terrain,
                     params=dr, external_forces=ext,
                 )
             else:

@@ -23,9 +23,11 @@ a static gather (``parent_slot``) downward and a ``segment_sum`` upward
 
 Scope (:func:`DepthPlan.build` raises ``ValueError`` otherwise, and
 callers fall back to the generic engine): free-base models whose other
-joints are all hinges — exactly the legged-robot family — with no
-sphere-sphere collision pairs. Terrain, joint limits, domain
-randomization, and external point forces are supported. The fast path
+joints are all hinges — exactly the legged-robot family. Terrain,
+joint limits, sphere-sphere collision pairs, domain randomization, and
+external point forces are supported (the static pair list stays
+per-pair, like the generic engine — a handful of fused chains on top
+of the depth-batched stages). The fast path
 is :func:`forward_dynamics_dw` with a held Cholesky factor (the
 ``reuse_mass_matrix`` mode of the legged envs); without ``chol`` the
 mass matrix itself still comes from the generic CRBA (it is amortized
@@ -86,6 +88,12 @@ class DepthPlan(NamedTuple):
     root_inertia: np.ndarray  # [6, 6]
     dof_perm: np.ndarray  # joint-dof gather: C[6 + i] = concat(levels)[dof_perm[i]]
     normal_perm: np.ndarray  # normals reorder: out[i] = computed[normal_perm[i]]
+    ancestor_mask: np.ndarray  # [NB, nv] 1.0 iff dof moves body (CRBA Gram form)
+    mass: np.ndarray  # [NB] body masses (world-frame inertia rebuild)
+    com: np.ndarray  # [NB, 3] body-frame COM offsets
+    inertia_com: np.ndarray  # [NB, 3, 3] rotational inertias about the COM
+    body_level: np.ndarray  # [NB] level index per body
+    body_slot: np.ndarray  # [NB] slot within its level per body
 
     @staticmethod
     def build(model: Model):
@@ -98,10 +106,6 @@ class DepthPlan(NamedTuple):
             raise ValueError("depthwise engine requires a free-base model")
         if any(t != HINGE for t in model.joint_type[1:]):
             raise ValueError("depthwise engine supports hinge joints only")
-        if model.pair_geom_a:
-            raise ValueError(
-                "depthwise engine does not support collision pairs"
-            )
         depth = [0] * model.n_bodies
         for i in range(1, model.n_bodies):
             depth[i] = depth[model.parent[i]] + 1
@@ -191,12 +195,33 @@ class DepthPlan(NamedTuple):
             if order
             else np.zeros(0, np.int64)
         )
+        # Ancestor mask for the Gram-form CRBA: dof d moves body b iff
+        # d's joint is on b's root path (self included).
+        anc = np.zeros((model.n_bodies, model.nv), np.float32)
+        for b in range(model.n_bodies):
+            j = b
+            while j >= 0:
+                s, n = vslices[j]
+                anc[b, s : s + n] = 1.0
+                j = model.parent[j]
+        body_level = np.zeros(model.n_bodies, np.int64)
+        body_slot = np.zeros(model.n_bodies, np.int64)
+        for d, bodies in enumerate(by_depth):
+            for s, b in enumerate(bodies):
+                body_level[b] = d
+                body_slot[b] = s
         return DepthPlan(
             levels=tuple(levels),
             geom_groups=tuple(groups),
             root_inertia=inertias[0],
             dof_perm=dof_perm,
             normal_perm=normal_perm,
+            ancestor_mask=anc,
+            mass=np.asarray(model.mass, np.float32),
+            com=np.asarray(model.com, np.float32),
+            inertia_com=np.asarray(model.inertia, np.float32),
+            body_level=body_level,
+            body_slot=body_slot,
         )
 
     @property
@@ -350,6 +375,145 @@ def _velocities(plan, R_cp: list, qvel: jax.Array) -> list:
     return v
 
 
+def _body_gather(plan) -> np.ndarray:
+    """Static gather indices: level-concat order → body order [NB]."""
+    sizes = [len(lvl.bodies) for lvl in plan.levels]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    return offs[plan.body_level] + plan.body_slot
+
+
+def mass_matrix_dw(
+    model: Model, plan, qpos: jax.Array, params=None, kin=None
+) -> jax.Array:
+    """CRBA joint-space inertia in Gram form: ``M = Σ_b Φ_bᵀ I_b Φ_b``.
+
+    The generic CRBA (``engine.mass_matrix``) walks every body's root
+    path sequentially — O(n_bodies · depth) chained small matmuls. Here
+    every dof's motion axis is expressed in ONE common frame (world
+    axes at the BASE body's origin — frame-invariant result, and using
+    the base keeps lever arms ~1 m for f32 conditioning regardless of
+    where the robot has walked), each body's spatial inertia is rebuilt
+    in that frame, and a static ``[NB, nv]`` ancestor mask selects
+    which dofs move which body. M then assembles as two batched
+    einsums over all bodies at once — depth-batched kinematics plus a
+    handful of large fused ops, no per-body chains.
+
+    ``kin``: optionally the ``fwd_kinematics_dw`` result to reuse.
+    Includes the armature diagonal, like the generic CRBA.
+    """
+    if kin is None:
+        kin = fwd_kinematics_dw(model, plan, qpos)
+    E, p, _ = kin
+    gather = jnp.asarray(_body_gather(plan))
+    E_all = jnp.concatenate(E, axis=0)[gather]  # [NB, 3, 3]
+    p_all = jnp.concatenate(p, axis=0)[gather]  # [NB, 3]
+    p0 = p_all[0]
+
+    # World-axes spatial inertia of every body about the base origin.
+    m = jnp.asarray(plan.mass)
+    c_rel = p_all + _mv(E_all, jnp.asarray(plan.com)) - p0  # COM − base
+    Ic_w = jnp.einsum(
+        "bij,bjk,blk->bil", E_all, jnp.asarray(plan.inertia_com), E_all
+    )
+    x, y, z = c_rel[:, 0], c_rel[:, 1], c_rel[:, 2]
+    zero = jnp.zeros_like(x)
+    cx = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        -2,
+    )  # [NB, 3, 3] skew(c_rel)
+    mm = m[:, None, None]
+    I_O = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [Ic_w + mm * cx @ jnp.swapaxes(cx, -1, -2), mm * cx], -1
+            ),
+            jnp.concatenate(
+                [mm * jnp.swapaxes(cx, -1, -2), mm * jnp.eye(3)[None]], -1
+            ),
+        ],
+        -2,
+    )  # [NB, 6, 6]
+    if params is not None and params.mass_scale is not None:
+        s = params.mass_scale
+        I_O = I_O * (s if s.ndim == 0 else s[:, None, None])
+
+    # Per-dof motion axes in the common frame ([nv, 6] rows).
+    E0 = E[0][0]
+    root_rows = jnp.concatenate(
+        [
+            jnp.concatenate([E0.T, jnp.zeros((3, 3))], -1),  # angular dofs
+            jnp.concatenate([jnp.zeros((3, 3)), E0.T], -1),  # linear dofs
+        ],
+        0,
+    )  # lever arm p − p0 = 0 at the base itself
+    joint_rows = []
+    for li, lvl in enumerate(plan.levels[1:], start=1):
+        axis_w = _mv(E[li], jnp.asarray(lvl.axis))  # [K, 3]
+        lever = p[li] - p0
+        joint_rows.append(
+            jnp.concatenate([axis_w, jnp.cross(lever, axis_w)], -1)
+        )
+    if joint_rows:
+        phi = jnp.concatenate(
+            [root_rows, jnp.concatenate(joint_rows, 0)[
+                jnp.asarray(plan.dof_perm)
+            ]],
+            0,
+        )
+    else:
+        phi = root_rows  # [nv, 6]
+
+    phi_m = phi[None] * jnp.asarray(plan.ancestor_mask)[:, :, None]
+    T = jnp.einsum("bvi,bij->bvj", phi_m, I_O)
+    M = jnp.einsum("bvj,bwj->vw", T, phi_m)
+    return M + jnp.diag(jnp.asarray(model.armature, jnp.float32))
+
+
+def mass_matrix_factor_dw(
+    model: Model, plan, qpos: jax.Array, *, dt: float, params=None
+) -> jax.Array:
+    """Lower-Cholesky factor of ``M + dt·D`` via the Gram-form CRBA —
+    drop-in for ``engine.mass_matrix_factor`` on plan-supported models
+    (same contract: the implicit joint-damping term is baked in, so
+    ``dt`` must match the integration step)."""
+    from nnx_ppo_tpu.ops.linalg import cholesky_factor_blocked
+
+    M = mass_matrix_dw(model, plan, qpos, params)
+    if dt:
+        M = M + dt * jnp.diag(_engine._scaled_damping(model, params))
+    return cholesky_factor_blocked(M)
+
+
+def mass_matrix_inverse_dw(
+    model: Model, plan, qpos: jax.Array, *, dt: float, params=None
+) -> jax.Array:
+    """Explicit ``(M + dt·D)⁻¹`` via the Gram-form CRBA.
+
+    The held-factor fast path still pays two triangular substitutions
+    per substep — ``2·nv`` sequentially dependent levels (the longest
+    dependency chain left in the depth-batched substep). Holding the
+    explicit inverse instead makes the per-substep solve ONE batched
+    matvec; the inverse is built once per control step by
+    back-substituting the identity through the Cholesky factor
+    (column-batched, so it costs one factor + one [nv]-wide backsub).
+    Same approximation contract as ``reuse_mass_matrix`` (M held across
+    the control step's substeps); SPD 18×18 systems with armature are
+    well-conditioned, so the explicit inverse is float32-safe."""
+    from nnx_ppo_tpu.ops.linalg import cholesky_factor_blocked
+
+    M = mass_matrix_dw(model, plan, qpos, params)
+    if dt:
+        M = M + dt * jnp.diag(_engine._scaled_damping(model, params))
+    L = cholesky_factor_blocked(M)
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    # cholesky_backsub operates on [..., n] rhs: batch over columns.
+    return jax.vmap(lambda col: cholesky_backsub(L, col))(eye).T
+
+
 def forward_dynamics_dw(
     model: Model,
     plan,
@@ -361,11 +525,16 @@ def forward_dynamics_dw(
     external_forces: Optional[list] = None,
     terrain=None,
     params=None,
+    minv: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Depth-batched ``forward_dynamics`` — same contract as
-    ``engine.forward_dynamics`` (minus collision pairs, which the plan
-    rejects). Returns ``(qacc [nv], ground-contact normal forces [NG]
-    in original geom order)``."""
+    ``engine.forward_dynamics``. Returns ``(qacc [nv], contact normal
+    forces in original geom order — ground geoms first, then pairs)``.
+
+    ``minv``: optionally a held explicit inverse from
+    :func:`mass_matrix_inverse_dw` — the solve becomes one batched
+    matvec (fastest path; same held-M approximation as ``chol``).
+    Takes precedence over ``chol``."""
     E, p, R_cp = fwd_kinematics_dw(model, plan, qpos)
     v = _velocities(plan, R_cp, qvel)
     I = _level_inertias(plan, params)
@@ -464,6 +633,57 @@ def forward_dynamics_dw(
         K = len(plan.levels[li].bodies)
         f[li] = f[li] - jax.ops.segment_sum(f_sp, slot, num_segments=K)
 
+    # Sphere-sphere collision pairs (explicit static list): same
+    # per-pair math as the generic engine — equal-and-opposite at one
+    # world point, momentum-conserving — using level-gathered poses.
+    if model.pair_geom_a:
+        smap = plan.slot_map
+
+        def geom_data(g: int):
+            li, s = smap[int(model.geom_body[g])]
+            return li, s, E[li][s], p[li][s], v[li][s]
+
+        def point_vel(E_b, v_b, r_local):
+            w_b, l_b = v_b[:3], v_b[3:]
+            return E_b @ (l_b + jnp.cross(w_b, r_local))
+
+        pair_normals = []
+        for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
+            la, sa, E_a, p_a, v_a = geom_data(ga)
+            lb, sb, E_b, p_b, v_b = geom_data(gb)
+            xa = p_a + E_a @ jnp.asarray(model.geom_offset[ga], jnp.float32)
+            xb = p_b + E_b @ jnp.asarray(model.geom_offset[gb], jnp.float32)
+            f_w, c_w, fn = _engine.sphere_pair_force(
+                xa,
+                xb,
+                jnp.float32(model.geom_radius[ga]),
+                jnp.float32(model.geom_radius[gb]),
+                stiffness=model.contact_stiffness,
+                damping=model.contact_damping,
+                friction=friction,
+                friction_vel=model.friction_vel,
+                max_force=model.max_contact_force,
+                va_fn=lambda c, E_=E_a, p_=p_a, v_=v_a: point_vel(
+                    E_, v_, E_.T @ (c - p_)
+                ),
+                vb_fn=lambda c, E_=E_b, p_=p_b, v_=v_b: point_vel(
+                    E_, v_, E_.T @ (c - p_)
+                ),
+            )
+            pair_normals.append(fn)
+            for li, s, E_g, p_g, sign in (
+                (lb, sb, E_b, p_b, 1.0),
+                (la, sa, E_a, p_a, -1.0),
+            ):
+                r_local = E_g.T @ (c_w - p_g)
+                f_b_ = E_g.T @ (sign * f_w)
+                f_sp = jnp.concatenate(
+                    [jnp.cross(r_local, f_b_), f_b_]
+                )
+                f[li] = f[li].at[s].add(-f_sp)
+    else:
+        pair_normals = []
+
     # External world-frame point forces [(body, point_world, f_world)].
     if external_forces:
         smap = plan.slot_map
@@ -507,11 +727,16 @@ def forward_dynamics_dw(
         ]
     else:
         all_normals = jnp.zeros((0,))
+    if pair_normals:
+        # Same output layout as the generic engine: the NG ground
+        # normals first, then the pairs in declaration order.
+        all_normals = jnp.concatenate([all_normals, jnp.stack(pair_normals)])
 
+    if minv is not None:
+        return minv @ rhs, all_normals
     if chol is not None:
         return cholesky_backsub(chol, rhs), all_normals
-    kin = _engine.fwd_kinematics(model, qpos)
-    M = _engine.mass_matrix(model, kin, params)
+    M = mass_matrix_dw(model, plan, qpos, params, kin=(E, p, R_cp))
     if dt:
         M = M + dt * jnp.diag(_engine._scaled_damping(model, params))
     return cholesky_solve_small(M, rhs), all_normals

@@ -165,11 +165,156 @@ def test_matches_with_external_force():
     )
 
 
-def test_unsupported_models_are_rejected():
-    model = make_quadruped(self_collision=True)
-    with pytest.raises(ValueError):
-        DepthPlan.build(model)
+@pytest.mark.parametrize(
+    "make_model,default_qpos",
+    [(make_quadruped, qd.default_qpos), (make_humanoid, hu.default_qpos)],
+    ids=["quadruped", "humanoid"],
+)
+def test_mass_matrix_gram_form_matches_crba(make_model, default_qpos):
+    """Gram-form M (common-frame axes + ancestor mask) == generic CRBA,
+    including with the robot far from the world origin (conditioning)."""
+    from nnx_ppo_tpu.physics.engine import fwd_kinematics, mass_matrix
+    from nnx_ppo_tpu.physics.engine_depthwise import mass_matrix_dw
 
+    model = make_model()
+    plan = DepthPlan.build(model)
+    qpos, _, _ = _random_states(model, default_qpos, B=4, seed=13)
+    qpos = qpos.at[:, 0:2].add(30.0)  # walked 40+ m from the origin
+
+    ref = jax.jit(
+        jax.vmap(lambda q: mass_matrix(model, fwd_kinematics(model, q)))
+    )(qpos)
+    got = jax.jit(jax.vmap(lambda q: mass_matrix_dw(model, plan, q)))(qpos)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_mass_matrix_factor_dw_matches():
+    """Factor path (with implicit damping + DR) matches the generic
+    factor through an actual solve."""
+    from nnx_ppo_tpu.ops.linalg import cholesky_backsub
+    from nnx_ppo_tpu.physics.engine_depthwise import mass_matrix_factor_dw
+
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=2, seed=17)
+    params = DomainParams(
+        mass_scale=jnp.float32(0.9), damping_scale=jnp.float32(1.2)
+    )
+    dt = 0.002
+    ref = jax.jit(
+        jax.vmap(
+            lambda q, r: cholesky_backsub(
+                mass_matrix_factor(model, q, dt=dt, params=params), r
+            )
+        )
+    )(qpos, tau)
+    got = jax.jit(
+        jax.vmap(
+            lambda q, r: cholesky_backsub(
+                mass_matrix_factor_dw(
+                    model, plan, q, dt=dt, params=params
+                ),
+                r,
+            )
+        )
+    )(qpos, tau)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_held_inverse_matches_held_factor():
+    """The explicit-inverse fast path solves the same system as the
+    held Cholesky factor (one matvec vs two substitutions)."""
+    from nnx_ppo_tpu.physics.engine_depthwise import (
+        mass_matrix_factor_dw,
+        mass_matrix_inverse_dw,
+    )
+
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=4, seed=19)
+    dt = 0.002
+    ref = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t: forward_dynamics_dw(
+                model, plan, qp, qv, t, dt=dt,
+                chol=mass_matrix_factor_dw(model, plan, qp, dt=dt),
+            )[0]
+        )
+    )(qpos, qvel, tau)
+    got = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t: forward_dynamics_dw(
+                model, plan, qp, qv, t, dt=dt,
+                minv=mass_matrix_inverse_dw(model, plan, qp, dt=dt),
+            )[0]
+        )
+    )(qpos, qvel, tau)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-3
+    )
+
+
+def test_matches_with_collision_pairs_quadruped():
+    """self_collision quadruped: plan builds, dynamics + normal layout
+    (ground geoms first, pairs appended) match the generic engine."""
+    model = make_quadruped(self_collision=True)
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=4, seed=21)
+    _assert_matches(model, plan, qpos, qvel, tau)
+
+
+def test_matches_with_active_collision_pair():
+    """A synthetic free-base model with two arms whose spheres overlap
+    at the default pose: the pair force is genuinely active, and the
+    depthwise dynamics + pair normals match the generic engine."""
+    from nnx_ppo_tpu.physics.model import FREE, HINGE, ModelBuilder
+
+    b = ModelBuilder()
+    b.add_body("base", joint=FREE, mass=2.0, inertia=(0.02, 0.02, 0.02))
+    for side, sign in (("L", 1.0), ("R", -1.0)):
+        b.add_body(
+            f"{side}_arm",
+            parent="base",
+            joint=HINGE,
+            axis=(1.0, 0.0, 0.0),
+            pos=(0.0, sign * 0.05, 0.0),
+            mass=0.4,
+            com=(0.0, sign * 0.1, 0.0),
+            inertia=(0.002, 0.002, 0.002),
+            damping=0.5,
+        )
+    # Sphere centers at y = ±0.08 (joint 0.05 + offset 0.03): 0.16 m
+    # apart with radius 0.1 each → 0.04 m penetration at q = 0.
+    ga = b.add_sphere_geom("L_arm", (0.0, 0.03, 0.0), 0.1)
+    gb = b.add_sphere_geom("R_arm", (0.0, -0.03, 0.0), 0.1)
+    b.add_collision_pair(ga, gb)
+    model = b.finalize(contact_stiffness=800.0, contact_damping=20.0)
+    plan = DepthPlan.build(model)
+
+    key = jax.random.key(23)
+    B = 4
+    qpos = jnp.tile(
+        jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]), (B, 1)
+    )
+    qpos = qpos.at[:, 7:].add(0.1 * jax.random.normal(key, (B, 2)))
+    qvel = 0.3 * jax.random.normal(jax.random.key(24), (B, model.nv))
+    tau = jnp.zeros((B, model.nv))
+    _assert_matches(model, plan, qpos, qvel, tau)
+    _, normals = jax.jit(
+        jax.vmap(
+            lambda qp, qv, t: forward_dynamics_dw(
+                model, plan, qp, qv, t, dt=0.002
+            )
+        )
+    )(qpos, qvel, tau)
+    assert float(jnp.min(normals[:, -1])) > 0.0  # pair genuinely active
+
+
+def test_unsupported_models_are_rejected():
     from nnx_ppo_tpu.physics.models.arm import make_arm
 
     with pytest.raises(ValueError):
