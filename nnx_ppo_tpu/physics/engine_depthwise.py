@@ -51,7 +51,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nnx_ppo_tpu.ops.linalg import cholesky_backsub, cholesky_solve_small
+from nnx_ppo_tpu.ops.linalg import (
+    cholesky_backsub,
+    cholesky_factor_blocked,
+    cholesky_solve_small,
+)
 from nnx_ppo_tpu.physics import engine as _engine
 from nnx_ppo_tpu.physics.model import FREE, HINGE, Model
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
@@ -480,8 +484,6 @@ def mass_matrix_factor_dw(
     drop-in for ``engine.mass_matrix_factor`` on plan-supported models
     (same contract: the implicit joint-damping term is baked in, so
     ``dt`` must match the integration step)."""
-    from nnx_ppo_tpu.ops.linalg import cholesky_factor_blocked
-
     M = mass_matrix_dw(model, plan, qpos, params)
     if dt:
         M = M + dt * jnp.diag(_engine._scaled_damping(model, params))
@@ -503,8 +505,6 @@ def mass_matrix_inverse_dw(
     Same approximation contract as ``reuse_mass_matrix`` (M held across
     the control step's substeps); SPD 18×18 systems with armature are
     well-conditioned, so the explicit inverse is float32-safe."""
-    from nnx_ppo_tpu.ops.linalg import cholesky_factor_blocked
-
     M = mass_matrix_dw(model, plan, qpos, params)
     if dt:
         M = M + dt * jnp.diag(_engine._scaled_damping(model, params))

@@ -314,6 +314,100 @@ def test_matches_with_active_collision_pair():
     assert float(jnp.min(normals[:, -1])) > 0.0  # pair genuinely active
 
 
+def _random_hinge_tree(seed: int):
+    """Random free-base all-hinge tree with random contact spheres and
+    (when possible) a collision pair — stresses depth grouping, the
+    parent-slot gathers, segment-sum fan-ins, and geom/normal
+    permutations on topologies the shipped robots don't cover."""
+    from nnx_ppo_tpu.physics.model import FREE, HINGE, ModelBuilder
+
+    rng = np.random.RandomState(seed)
+    n_bodies = rng.randint(4, 10)
+    b = ModelBuilder(gravity=-9.81)
+    names = []
+    geoms = []
+    for i in range(n_bodies):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        name = f"b{i}"
+        b.add_body(
+            name,
+            parent=None if i == 0 else names[rng.randint(0, i)],
+            joint=FREE if i == 0 else HINGE,
+            axis=tuple(axis),
+            pos=tuple(0.4 * rng.normal(size=3)),
+            mass=float(rng.uniform(0.2, 2.0)),
+            com=tuple(0.15 * rng.normal(size=3)),
+            inertia=tuple(rng.uniform(0.01, 0.1, size=3)),
+            damping=float(rng.uniform(0.0, 1.0)),
+            armature=float(rng.uniform(0.0, 0.02)),
+        )
+        names.append(name)
+        if rng.rand() < 0.7:
+            geoms.append(
+                b.add_sphere_geom(
+                    name,
+                    tuple(0.2 * rng.normal(size=3)),
+                    float(rng.uniform(0.03, 0.12)),
+                )
+            )
+    pair_bodies_differ = [
+        (ga, gb)
+        for gi, ga in enumerate(geoms)
+        for gb in geoms[gi + 1 :]
+        if b._geom_body[ga] != b._geom_body[gb]
+    ]
+    if pair_bodies_differ:
+        ga, gb = pair_bodies_differ[rng.randint(len(pair_bodies_differ))]
+        b.add_collision_pair(ga, gb)
+    return b.finalize(contact_stiffness=2_000.0, contact_damping=50.0)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_trees_match_generic(seed):
+    from nnx_ppo_tpu.physics.engine import fwd_kinematics, mass_matrix
+    from nnx_ppo_tpu.physics.engine_depthwise import mass_matrix_dw
+
+    model = _random_hinge_tree(seed)
+    plan = DepthPlan.build(model)
+    rng = np.random.RandomState(100 + seed)
+    quat = rng.normal(size=4)
+    quat /= np.linalg.norm(quat)
+    qpos = jnp.asarray(
+        np.concatenate(
+            [
+                0.3 * rng.normal(size=2),
+                [0.2 + 0.3 * rng.rand()],  # near the ground: contacts
+                quat,
+                rng.uniform(-1.0, 1.0, size=model.nv - 6),
+            ]
+        ),
+        jnp.float32,
+    )
+    qvel = jnp.asarray(rng.uniform(-1.0, 1.0, size=model.nv), jnp.float32)
+    tau = jnp.asarray(rng.normal(size=model.nv), jnp.float32)
+
+    ref = jax.jit(
+        lambda: forward_dynamics(model, qpos, qvel, tau, dt=0.002)
+    )()
+    got = jax.jit(
+        lambda: forward_dynamics_dw(model, plan, qpos, qvel, tau, dt=0.002)
+    )()
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=5e-4, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), rtol=5e-4, atol=5e-3
+    )
+    M_ref = jax.jit(
+        lambda: mass_matrix(model, fwd_kinematics(model, qpos))
+    )()
+    M_got = jax.jit(lambda: mass_matrix_dw(model, plan, qpos))()
+    np.testing.assert_allclose(
+        np.asarray(M_got), np.asarray(M_ref), rtol=5e-4, atol=5e-3
+    )
+
+
 def test_unsupported_models_are_rejected():
     from nnx_ppo_tpu.physics.models.arm import make_arm
 
