@@ -18,6 +18,14 @@ from nnx_ppo_tpu.physics.model import (
     Model,
     ModelBuilder,
 )
+from nnx_ppo_tpu.physics.engine_depthwise import (
+    DepthPlan,
+    forward_dynamics_dw,
+    mass_matrix_dw,
+    mass_matrix_factor_dw,
+    mass_matrix_inverse_dw,
+)
+from nnx_ppo_tpu.physics.mjcf import MjcfImport, from_mjcf
 from nnx_ppo_tpu.physics.randomize import (
     DomainParams,
     DomainRandomization,
@@ -27,8 +35,15 @@ from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
 from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain, stairs
 
 __all__ = [
+    "DepthPlan",
     "DomainParams",
     "DomainRandomization",
+    "MjcfImport",
+    "from_mjcf",
+    "forward_dynamics_dw",
+    "mass_matrix_dw",
+    "mass_matrix_factor_dw",
+    "mass_matrix_inverse_dw",
     "BALL",
     "FREE",
     "HINGE",

@@ -1,0 +1,435 @@
+"""MJCF import: load MuJoCo robot models into the TPU-native engine.
+
+The reference's physics workloads are MuJoCo models (mujoco_playground
+MJX configs — ``/root/reference/nnx_ppo/algorithms/ppo_test.py:26-28``);
+users arriving from it bring robots described in MJCF XML. This module
+translates a compiled :class:`mujoco.MjModel` (the installed ``mujoco``
+package does all parsing/compilation — units, defaults, includes) into
+the engine's :class:`~nnx_ppo_tpu.physics.model.Model`, so those robots
+run on the in-repo TPU-native substrate.
+
+Supported subset (one joint per body — the common robot topology):
+
+* free (base), hinge, slide, and ball joints; per-dof damping,
+  armature, and hinge/slide ranges (imported as the engine's penalty
+  stops — MuJoCo treats ranges as solver constraints, so limit
+  *dynamics* differ while the admissible range matches);
+* welded bodies (zero joints) merge into their nearest jointed
+  ancestor exactly: masses, COMs, and inertias combine via the
+  parallel-axis theorem; geoms and children re-attach through the weld;
+* fixed child-frame rotations (``body_quat``) and joint anchors
+  (``jnt_pos``): the engine's child frame is *parent-aligned at the
+  joint anchor*, so both are unrolled into the imported constants
+  (exact; ball-joint states and axes are conjugated by the same
+  rotation);
+* sphere geoms become contact spheres **iff** the MJCF declares a
+  z = 0 world ground plane (the engine's implicit ground; importing
+  contact spheres from a floorless MJCF would invent collisions) or
+  ``force_contacts=True``; explicit ``<pair>`` elements between two
+  imported spheres become engine collision pairs. Other geom types
+  only contribute their (already-compiled) body inertia.
+
+NOT translated: MuJoCo's constraint-based contact model (solref /
+solimp) — the engine uses penalty/compliant contacts, so pass
+``contact_stiffness``/``contact_damping``/``friction`` explicitly;
+actuators, tendons, sensors (the envs own actuation); non-sphere
+collision geometry.
+
+Exactness: the *smooth* dynamics (mass matrix, bias forces, gravity,
+damping, armature) of imported models match MuJoCo's own
+``mj_forward``/``mj_fullM`` to float tolerance — cross-validated
+against the MuJoCo C engine in ``tests/test_mjcf.py``, including the
+free-joint velocity-convention conversion (MuJoCo: world-frame linear
+then body-frame angular; engine: body-frame, angular first).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from nnx_ppo_tpu.physics.model import BALL, FREE, HINGE, SLIDE, Model
+
+# mjtJoint / mjtGeom codes kept literal so this module only imports
+# mujoco inside from_mjcf (the package imports fine without mujoco).
+_MJ_FREE, _MJ_BALL, _MJ_SLIDE, _MJ_HINGE = 0, 1, 2, 3
+_JOINT_TYPE = {
+    _MJ_FREE: FREE,
+    _MJ_BALL: BALL,
+    _MJ_SLIDE: SLIDE,
+    _MJ_HINGE: HINGE,
+}
+_NV = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}
+_NQ = {FREE: 7, BALL: 4, SLIDE: 1, HINGE: 1}
+_MJ_GEOM_PLANE, _MJ_GEOM_SPHERE = 0, 2
+_WORLD = -1
+
+
+def _quat_to_mat(q) -> np.ndarray:
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _mat_to_quat(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → unit quaternion [w, x, y, z] (Shepperd)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array(
+            [
+                0.25 * s,
+                (R[2, 1] - R[1, 2]) / s,
+                (R[0, 2] - R[2, 0]) / s,
+                (R[1, 0] - R[0, 1]) / s,
+            ]
+        )
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ]
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MjcfImport:
+    """Result of :func:`from_mjcf`."""
+
+    model: Model
+    qpos0: np.ndarray  # engine-layout reference configuration
+    body_names: tuple  # our body index → MJCF body name
+    geom_names: tuple  # our contact-geom index → MJCF geom name
+    skipped_geoms: tuple  # MJCF geom names not imported as contacts
+    has_ground: bool  # MJCF declared a z = 0 world plane
+
+    def qvel_from_mujoco(self, qpos, qvel_mj) -> np.ndarray:
+        """MuJoCo qvel → engine qvel.
+
+        Free joints: MuJoCo stores ``[v_world(3), ω_body(3)]``, the
+        engine ``[ω_body(3), v_body(3)]``; ``qpos`` (identical layout
+        in both) supplies the base orientation. Other dofs coincide."""
+        out = np.asarray(qvel_mj, np.float64).copy()
+        if self.model.free_base:
+            E = _quat_to_mat(np.asarray(qpos[3:7], np.float64))
+            out[0:3] = np.asarray(qvel_mj[3:6])
+            out[3:6] = E.T @ np.asarray(qvel_mj[0:3])
+        return out
+
+    def qacc_from_mujoco(self, qpos, qvel_mj, qacc_mj) -> np.ndarray:
+        """MuJoCo qacc → engine qacc (free-base transport term).
+
+        The engine's linear acceleration dof is ``d/dt(v_body)``;
+        MuJoCo's is ``d/dt(v_world)``. With ``v_body = Eᵀ v_world``:
+        ``v̇_body = Eᵀ v̇_world − ω_body × v_body``."""
+        out = np.asarray(qacc_mj, np.float64).copy()
+        if self.model.free_base:
+            E = _quat_to_mat(np.asarray(qpos[3:7], np.float64))
+            w_body = np.asarray(qvel_mj[3:6])
+            v_body = E.T @ np.asarray(qvel_mj[0:3])
+            out[0:3] = qacc_mj[3:6]
+            out[3:6] = E.T @ np.asarray(qacc_mj[0:3]) - np.cross(
+                w_body, v_body
+            )
+        return out
+
+
+def from_mjcf(
+    xml: str,
+    *,
+    force_contacts: bool = False,
+    contact_stiffness: float = 5_000.0,
+    contact_damping: float = 100.0,
+    friction: Optional[float] = None,
+    **model_overrides,
+) -> MjcfImport:
+    """Translate an MJCF document into an engine :class:`Model`.
+
+    Args:
+      xml: MJCF XML string, or a path to an XML file (detected by the
+        absence of ``<``).
+      force_contacts: import sphere geoms as contact spheres even when
+        the MJCF declares no z = 0 world plane.
+      contact_stiffness / contact_damping: engine penalty-contact
+        parameters (MuJoCo's solref/solimp constraint model has no
+        direct equivalent).
+      friction: contact friction coefficient; defaults to the first
+        imported sphere's MJCF sliding friction.
+      **model_overrides: forwarded to :class:`Model` (e.g.
+        ``friction_vel``, ``max_contact_force``, ``limit_stiffness``).
+    """
+    import mujoco
+
+    m = (
+        mujoco.MjModel.from_xml_string(xml)
+        if "<" in xml
+        else mujoco.MjModel.from_xml_path(xml)
+    )
+
+    if abs(m.opt.gravity[0]) > 1e-12 or abs(m.opt.gravity[1]) > 1e-12:
+        raise ValueError("engine gravity must be along z")
+    gravity = float(m.opt.gravity[2])
+
+    def body_name(b: int) -> str:
+        return mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b) or f"body{b}"
+
+    def geom_label(g: int) -> str:
+        return mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g) or f"geom{g}"
+
+    # ------------------------------------------------------------------
+    # Pass 1 — frames. For each mj body b: host[b] = our body its
+    # content lands on (welds merge into their jointed ancestor;
+    # _WORLD for static scenery), and (W_R, W_t)[b] mapping b's mj
+    # frame into that host's OUR frame (parent-aligned at the joint
+    # anchor). MuJoCo guarantees parentid < id, so one forward pass.
+    # ------------------------------------------------------------------
+    nb = m.nbody
+    host = [_WORLD] * nb
+    W_R = [np.eye(3)] * nb
+    W_t = [np.zeros(3)] * nb
+
+    our_mj_body: list[int] = []  # our index → mj body id
+    parent_our: list[int] = []
+    joint_types: list[str] = []
+    joint_axes: list[np.ndarray] = []
+    joint_positions: list[np.ndarray] = []
+    joint_ids: list[int] = []
+
+    for b in range(1, nb):
+        p = m.body_parentid[b]
+        if m.body_jntnum[b] > 1:
+            raise ValueError(
+                f"body {body_name(b)!r} has {int(m.body_jntnum[b])} "
+                "joints; the engine supports one joint per body"
+            )
+        R_pb = _quat_to_mat(m.body_quat[b])
+        # b's mj frame expressed in the parent's HOST our frame (or the
+        # world frame while no jointed ancestor exists yet).
+        R_in_host = W_R[p] @ R_pb
+        t_in_host = W_R[p] @ m.body_pos[b] + W_t[p]
+
+        if m.body_jntnum[b] == 0:  # weld
+            host[b] = host[p]
+            W_R[b], W_t[b] = R_in_host, t_in_host
+            continue
+
+        j = int(m.body_jntadr[b])
+        jtype = _JOINT_TYPE[int(m.jnt_type[j])]
+        if host[p] == _WORLD and parent_our.count(_WORLD) >= 1:
+            raise ValueError(
+                "multiple kinematic trees in one MJCF are not supported "
+                "(use physics/scene.py with one import per tree)"
+            )
+        if jtype == FREE:
+            if host[p] != _WORLD:
+                raise ValueError("free joint must be on a base body")
+            # The free pose is STATE: the world-weld offset and
+            # body_quat live in qpos0 (mujoco composes them there), so
+            # the our frame coincides with the mj body frame.
+            oi = len(our_mj_body)
+            our_mj_body.append(b)
+            host[b] = oi
+            W_R[b], W_t[b] = np.eye(3), np.zeros(3)
+            parent_our.append(_WORLD)
+            joint_axes.append(np.zeros(3))
+            joint_positions.append(np.zeros(3))
+        else:
+            anchor = m.jnt_pos[j].copy()
+            oi = len(our_mj_body)
+            our_mj_body.append(b)
+            host[b] = oi
+            parent_our.append(host[p])
+            # Our origin = joint anchor; our axes = parent-host axes.
+            # Content coords: x_our = W_R @ (x_mj − anchor).
+            joint_positions.append(t_in_host + R_in_host @ anchor)
+            W_R[b] = R_in_host
+            W_t[b] = -R_in_host @ anchor
+            joint_axes.append(W_R[b] @ m.jnt_axis[j])
+        joint_types.append(jtype)
+        joint_ids.append(j)
+
+    n_our = len(our_mj_body)
+    if n_our == 0:
+        raise ValueError("MJCF contains no jointed bodies")
+
+    # ------------------------------------------------------------------
+    # Pass 2 — inertia: combine every mj body's inertia into its host
+    # (parallel-axis), expressed in the host's our frame.
+    # ------------------------------------------------------------------
+    parts: list[list] = [[] for _ in range(n_our)]  # (mass, com, I)
+    for b in range(1, nb):
+        if host[b] == _WORLD or m.body_mass[b] <= 0:
+            continue
+        com = W_R[b] @ m.body_ipos[b] + W_t[b]
+        R_i = W_R[b] @ _quat_to_mat(m.body_iquat[b])
+        I = R_i @ np.diag(m.body_inertia[b]) @ R_i.T
+        parts[host[b]].append((float(m.body_mass[b]), com, I))
+
+    mass = np.zeros(n_our)
+    com = np.zeros((n_our, 3))
+    inertia = np.zeros((n_our, 3, 3))
+    for oi, plist in enumerate(parts):
+        mtot = sum(p[0] for p in plist)
+        mass[oi] = mtot
+        if mtot <= 0:
+            continue
+        c = sum(p[0] * p[1] for p in plist) / mtot
+        com[oi] = c
+        I = np.zeros((3, 3))
+        for mk, ck, Ik in plist:
+            d = ck - c
+            I += Ik + mk * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+        inertia[oi] = I
+
+    # ------------------------------------------------------------------
+    # Pass 3 — geoms. Ground plane detection, contact spheres, pairs.
+    # ------------------------------------------------------------------
+    has_ground = False
+    skipped: list[str] = []
+    geom_map: dict[int, int] = {}  # mj geom id → our geom index
+    geom_body: list[int] = []
+    geom_offset: list[np.ndarray] = []
+    geom_radius: list[float] = []
+    geom_names: list[str] = []
+    default_friction: Optional[float] = None
+    for g in range(m.ngeom):
+        b = int(m.geom_bodyid[g])
+        gtype = int(m.geom_type[g])
+        if gtype == _MJ_GEOM_PLANE and host[b] == _WORLD:
+            # World plane: representable iff it is the engine's z = 0
+            # ground (world z-normal through the origin height).
+            z_world = (W_R[b] @ _quat_to_mat(m.geom_quat[g]))[:, 2]
+            pos_world = W_R[b] @ m.geom_pos[g] + W_t[b]
+            if (
+                np.allclose(z_world, [0.0, 0.0, 1.0], atol=1e-9)
+                and abs(pos_world[2]) < 1e-9
+            ):
+                has_ground = True
+            else:
+                skipped.append(geom_label(g))
+            continue
+        if gtype == _MJ_GEOM_SPHERE and host[b] != _WORLD:
+            geom_map[g] = len(geom_body)
+            geom_body.append(host[b])
+            geom_offset.append(W_R[b] @ m.geom_pos[g] + W_t[b])
+            geom_radius.append(float(m.geom_size[g, 0]))
+            geom_names.append(geom_label(g))
+            if default_friction is None:
+                default_friction = float(m.geom_friction[g, 0])
+        else:
+            skipped.append(geom_label(g))
+
+    if not has_ground and not force_contacts:
+        # No representable floor: a contact sphere would collide with
+        # the engine's implicit z = 0 ground that the MJCF never had.
+        skipped.extend(geom_names)
+        geom_map.clear()
+        geom_body, geom_offset, geom_radius, geom_names = [], [], [], []
+
+    pair_a: list[int] = []
+    pair_b: list[int] = []
+    for k in range(m.npair):
+        ga, gb = int(m.pair_geom1[k]), int(m.pair_geom2[k])
+        if ga in geom_map and gb in geom_map:
+            pair_a.append(geom_map[ga])
+            pair_b.append(geom_map[gb])
+
+    # ------------------------------------------------------------------
+    # Pass 4 — per-dof arrays and qpos0, in our body order (= mj joint
+    # order, one joint per body). The engine's free-base dof order is
+    # [ω(3), v(3)]; MuJoCo's is [v(3), ω(3)] — swap those halves.
+    # ------------------------------------------------------------------
+    damping: list[float] = []
+    armature: list[float] = []
+    lower: list[float] = []
+    upper: list[float] = []
+    qpos0: list[float] = []
+    for oi, b in enumerate(our_mj_body):
+        j = joint_ids[oi]
+        jtype = joint_types[oi]
+        nvj, nqj = _NV[jtype], _NQ[jtype]
+        dof0 = int(m.jnt_dofadr[j])
+        q0 = int(m.jnt_qposadr[j])
+        d = list(m.dof_damping[dof0 : dof0 + nvj])
+        a = list(m.dof_armature[dof0 : dof0 + nvj])
+        if jtype == FREE:
+            d = d[3:] + d[:3]
+            a = a[3:] + a[:3]
+        damping.extend(d)
+        armature.extend(a)
+        if jtype in (HINGE, SLIDE) and bool(m.jnt_limited[j]):
+            lower.append(float(m.jnt_range[j, 0]))
+            upper.append(float(m.jnt_range[j, 1]))
+        else:
+            lower.extend([-np.inf] * nvj)
+            upper.extend([np.inf] * nvj)
+        seg = np.asarray(m.qpos0[q0 : q0 + nqj], np.float64)
+        if jtype == BALL:
+            # Conjugate the state quaternion into the our-frame axes.
+            qA = _mat_to_quat(W_R[b])
+            qAinv = qA * np.array([1.0, -1.0, -1.0, -1.0])
+            seg = _quat_mul(_quat_mul(qA, seg), qAinv)
+        qpos0.extend(seg.tolist())
+
+    model = Model(
+        parent=tuple(parent_our),
+        joint_type=tuple(joint_types),
+        joint_axis=np.asarray(joint_axes, np.float64),
+        joint_pos=np.asarray(joint_positions, np.float64),
+        mass=mass,
+        com=com,
+        inertia=inertia,
+        geom_body=tuple(geom_body),
+        geom_offset=(
+            np.asarray(geom_offset, np.float64)
+            if geom_offset
+            else np.zeros((0, 3))
+        ),
+        geom_radius=np.asarray(geom_radius, np.float64),
+        damping=np.asarray(damping),
+        armature=np.asarray(armature),
+        joint_lower=np.asarray(lower),
+        joint_upper=np.asarray(upper),
+        pair_geom_a=tuple(pair_a),
+        pair_geom_b=tuple(pair_b),
+        gravity=gravity,
+        contact_stiffness=contact_stiffness,
+        contact_damping=contact_damping,
+        friction=(
+            friction
+            if friction is not None
+            else (default_friction if default_friction is not None else 0.8)
+        ),
+        **model_overrides,
+    )
+    return MjcfImport(
+        model=model,
+        qpos0=np.asarray(qpos0, np.float32),
+        body_names=tuple(body_name(b) for b in our_mj_body),
+        geom_names=tuple(geom_names),
+        skipped_geoms=tuple(skipped),
+        has_ground=has_ground,
+    )

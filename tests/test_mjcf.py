@@ -1,0 +1,271 @@
+"""MJCF import cross-validated against the MuJoCo C engine itself.
+
+``physics/mjcf.py`` translates compiled MjModels into engine Models;
+these tests assert the translated SMOOTH dynamics (mass matrix, bias,
+gravity, damping, armature) match ``mj_fullM``/``mj_forward`` to float
+tolerance — two fully independent implementations agreeing on the same
+robot — plus geometry (world geom centers) and contact-import rules.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from nnx_ppo_tpu.physics.engine import (
+    forward_dynamics,
+    fwd_kinematics,
+    geom_world_centers,
+    mass_matrix,
+    step,
+)
+from nnx_ppo_tpu.physics.mjcf import from_mjcf
+
+# A gnarly fixed-base arm: rotated child frames (body_quat), off-origin
+# joint anchors (jnt_pos), off-axis COMs, full per-joint damping /
+# armature / asymmetric inertia — everything the frame unroll must get
+# right at once.
+ARM_XML = """
+<mujoco>
+  <option gravity="0 0 -9.81"/>
+  <compiler angle="radian"/>
+  <worldbody>
+    <body name="upper" pos="0.1 0.2 1.0" quat="0.9238795 0 0.3826834 0">
+      <joint name="shoulder" type="hinge" axis="0 1 0" pos="0.02 0 0.03"
+             damping="0.7" armature="0.015"/>
+      <inertial pos="0.05 0.01 -0.15" mass="1.4"
+                fullinertia="0.011 0.013 0.007 0.0005 0.0002 0.0008"/>
+      <body name="fore" pos="0 0 -0.3" quat="0.9659258 0.2588190 0 0">
+        <joint name="elbow" type="hinge" axis="1 0 0" pos="0 0.01 0"
+               damping="0.4" armature="0.008"/>
+        <inertial pos="0 -0.02 -0.12" mass="0.8"
+                  diaginertia="0.006 0.006 0.001"/>
+        <body name="wrist_weld" pos="0 0 -0.25" quat="0.7071068 0 0 0.7071068">
+          <inertial pos="0.01 0 -0.02" mass="0.3"
+                    diaginertia="0.0012 0.0011 0.0007"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+FREE_TREE_XML = """
+<mujoco>
+  <option gravity="0 0 -9.81"/>
+  <compiler angle="radian"/>
+  <worldbody>
+    <body name="trunk" pos="0.3 -0.2 0.9" quat="0.9914449 0 0.1305262 0">
+      <freejoint/>
+      <inertial pos="0.02 0 0.05" mass="3.1" diaginertia="0.04 0.05 0.03"/>
+      <body name="leg" pos="0.1 0.05 -0.1" quat="0.9961947 0.0871557 0 0">
+        <joint type="hinge" axis="0 1 0" pos="0 0 0.02" damping="0.9"
+               armature="0.01"/>
+        <inertial pos="0 0 -0.2" mass="0.6" diaginertia="0.004 0.004 0.0008"/>
+        <body name="foot" pos="0 0 -0.35">
+          <joint type="hinge" axis="1 0 0" damping="0.3" armature="0.005"/>
+          <inertial pos="0.02 0 -0.05" mass="0.2"
+                    diaginertia="0.0008 0.0009 0.0004"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _mj_state(xml, qpos, qvel, tau):
+    m = mujoco.MjModel.from_xml_string(xml)
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    d.qfrc_applied[:] = tau
+    mujoco.mj_forward(m, d)
+    M = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, M)
+    return m, d, M
+
+
+class TestFixedBaseArm:
+    def test_mass_matrix_matches_mujoco(self):
+        imp = from_mjcf(ARM_XML)
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            qpos = rng.uniform(-1.2, 1.2, size=2)
+            _, _, M_mj = _mj_state(ARM_XML, qpos, np.zeros(2), np.zeros(2))
+            kin = fwd_kinematics(imp.model, jnp.asarray(qpos, jnp.float32))
+            M = np.asarray(mass_matrix(imp.model, kin))
+            np.testing.assert_allclose(M, M_mj, rtol=1e-4, atol=1e-6)
+
+    def test_qacc_matches_mujoco(self):
+        imp = from_mjcf(ARM_XML)
+        rng = np.random.RandomState(1)
+        for _ in range(3):
+            qpos = rng.uniform(-1.2, 1.2, size=2)
+            qvel = rng.uniform(-2.0, 2.0, size=2)
+            tau = rng.uniform(-3.0, 3.0, size=2)
+            _, d, _ = _mj_state(ARM_XML, qpos, qvel, tau)
+            qacc, _ = forward_dynamics(
+                imp.model,
+                jnp.asarray(qpos, jnp.float32),
+                jnp.asarray(qvel, jnp.float32),
+                jnp.asarray(tau, jnp.float32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(qacc), d.qacc, rtol=2e-4, atol=2e-3
+            )
+
+    def test_welded_body_merged(self):
+        imp = from_mjcf(ARM_XML)
+        # wrist_weld carries no joint: merged into 'fore'.
+        assert imp.body_names == ("upper", "fore")
+        assert imp.model.n_bodies == 2
+        # Combined mass is exact.
+        np.testing.assert_allclose(imp.model.mass[1], 0.8 + 0.3)
+
+
+class TestFreeBaseTree:
+    def test_qacc_matches_mujoco(self):
+        imp = from_mjcf(FREE_TREE_XML)
+        m = mujoco.MjModel.from_xml_string(FREE_TREE_XML)
+        rng = np.random.RandomState(2)
+        for _ in range(3):
+            qpos = np.array(m.qpos0).copy()
+            qpos[0:3] += 0.2 * rng.randn(3)
+            quat = rng.randn(4)
+            qpos[3:7] = quat / np.linalg.norm(quat)
+            qpos[7:] = rng.uniform(-1.0, 1.0, size=m.nq - 7)
+            qvel_mj = rng.uniform(-1.5, 1.5, size=m.nv)
+            tau_mj = rng.uniform(-2.0, 2.0, size=m.nv)
+            _, d, _ = _mj_state(FREE_TREE_XML, qpos, qvel_mj, tau_mj)
+
+            # Convert velocity AND generalized force to engine dofs.
+            # Free-base force dofs: MuJoCo [f_world(3), n_body(3)] →
+            # engine [n_body(3), f_body(3)] with f_body = Eᵀ f_world.
+            qvel = imp.qvel_from_mujoco(qpos, qvel_mj)
+            E = np.asarray(
+                fwd_kinematics(imp.model, jnp.asarray(qpos, jnp.float32)).E[0]
+            )
+            tau = np.asarray(tau_mj, np.float64).copy()
+            tau[0:3] = tau_mj[3:6]
+            tau[3:6] = E.T @ tau_mj[0:3]
+
+            qacc, _ = forward_dynamics(
+                imp.model,
+                jnp.asarray(qpos, jnp.float32),
+                jnp.asarray(qvel, jnp.float32),
+                jnp.asarray(tau, jnp.float32),
+            )
+            expect = imp.qacc_from_mujoco(qpos, qvel_mj, d.qacc)
+            np.testing.assert_allclose(
+                np.asarray(qacc), expect, rtol=5e-4, atol=5e-3
+            )
+
+    def test_qpos0_and_geometry(self):
+        xml = FREE_TREE_XML.replace(
+            '<body name="foot" pos="0 0 -0.35">',
+            '<body name="foot" pos="0 0 -0.35">'
+            '<geom name="toe" type="sphere" size="0.04" pos="0.03 0 -0.06"/>',
+        ).replace(
+            "<worldbody>",
+            '<worldbody><geom name="floor" type="plane" size="5 5 0.1"/>',
+        )
+        imp = from_mjcf(xml)
+        assert imp.has_ground and imp.geom_names == ("toe",)
+        m = mujoco.MjModel.from_xml_string(xml)
+        d = mujoco.MjData(m)
+        d.qpos[:] = m.qpos0
+        mujoco.mj_forward(m, d)
+        kin = fwd_kinematics(imp.model, jnp.asarray(imp.qpos0))
+        centers = geom_world_centers(imp.model, kin)
+        g_mj = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_GEOM, "toe")
+        np.testing.assert_allclose(
+            np.asarray(centers[0]), d.geom_xpos[g_mj], rtol=1e-5, atol=1e-5
+        )
+
+
+class TestContactImportRules:
+    def test_no_floor_no_contacts(self):
+        imp = from_mjcf(
+            FREE_TREE_XML.replace(
+                '<body name="foot" pos="0 0 -0.35">',
+                '<body name="foot" pos="0 0 -0.35">'
+                '<geom name="toe" type="sphere" size="0.04"/>',
+            )
+        )
+        assert not imp.has_ground
+        assert imp.model.geom_radius.size == 0
+        assert "toe" in imp.skipped_geoms
+
+    def test_ball_rests_on_imported_floor(self):
+        xml = """
+        <mujoco>
+          <option gravity="0 0 -9.81"/>
+          <worldbody>
+            <geom name="floor" type="plane" size="3 3 0.1"/>
+            <body name="ball" pos="0 0 0.5">
+              <freejoint/>
+              <inertial pos="0 0 0" mass="1.0" diaginertia="0.004 0.004 0.004"/>
+              <geom name="sphere" type="sphere" size="0.1" friction="0.6 0.005 0.0001"/>
+            </body>
+          </worldbody>
+        </mujoco>"""
+        imp = from_mjcf(xml, contact_stiffness=4_000.0, contact_damping=80.0)
+        assert imp.has_ground
+        assert imp.model.friction == pytest.approx(0.6)
+        qpos = jnp.asarray(imp.qpos0)
+        qvel = jnp.zeros(6)
+        run = jax.jit(
+            lambda qp, qv: step(
+                imp.model, qp, qv, jnp.zeros(6), 0.002, n_substeps=600
+            )
+        )
+        qpos, qvel, _ = run(qpos, qvel)
+        # Rests just above one radius (static penalty penetration).
+        assert 0.08 < float(qpos[2]) <= 0.101
+        assert abs(float(qvel[5])) < 0.05
+
+    def test_pair_import(self):
+        xml = """
+        <mujoco>
+          <worldbody>
+            <geom name="floor" type="plane" size="3 3 0.1"/>
+            <body name="a" pos="0 0 0.5"><freejoint/>
+              <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+              <geom name="ga" type="sphere" size="0.1"/>
+              <body name="b" pos="0.15 0 0">
+                <joint type="hinge" axis="0 0 1"/>
+                <inertial pos="0 0 0" mass="0.5" diaginertia="0.004 0.004 0.004"/>
+                <geom name="gb" type="sphere" size="0.1"/>
+              </body>
+            </body>
+          </worldbody>
+          <contact><pair geom1="ga" geom2="gb"/></contact>
+        </mujoco>"""
+        imp = from_mjcf(xml)
+        assert imp.model.pair_geom_a == (0,)
+        assert imp.model.pair_geom_b == (1,)
+
+
+class TestErrors:
+    def test_two_joints_on_one_body_rejected(self):
+        xml = """
+        <mujoco><worldbody><body pos="0 0 1">
+          <joint type="hinge" axis="1 0 0"/><joint type="hinge" axis="0 1 0"/>
+          <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+        </body></worldbody></mujoco>"""
+        with pytest.raises(ValueError, match="one joint per body"):
+            from_mjcf(xml)
+
+    def test_two_trees_rejected(self):
+        xml = """
+        <mujoco><worldbody>
+          <body pos="0 0 1"><joint type="hinge" axis="1 0 0"/>
+            <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/></body>
+          <body pos="1 0 1"><joint type="hinge" axis="1 0 0"/>
+            <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/></body>
+        </worldbody></mujoco>"""
+        with pytest.raises(ValueError, match="multiple kinematic trees"):
+            from_mjcf(xml)
