@@ -25,7 +25,12 @@ from nnx_ppo_tpu.physics.engine_depthwise import (
     mass_matrix_factor_dw,
     mass_matrix_inverse_dw,
 )
-from nnx_ppo_tpu.physics.mjcf import MjcfImport, from_mjcf
+from nnx_ppo_tpu.physics.mjcf import (
+    MjcfImport,
+    MjcfSceneImport,
+    from_mjcf,
+    from_mjcf_scene,
+)
 from nnx_ppo_tpu.physics.randomize import (
     DomainParams,
     DomainRandomization,
@@ -39,7 +44,9 @@ __all__ = [
     "DomainParams",
     "DomainRandomization",
     "MjcfImport",
+    "MjcfSceneImport",
     "from_mjcf",
+    "from_mjcf_scene",
     "forward_dynamics_dw",
     "mass_matrix_dw",
     "mass_matrix_factor_dw",

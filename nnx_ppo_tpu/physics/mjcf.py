@@ -157,6 +157,18 @@ class MjcfImport:
         return out
 
 
+
+@dataclasses.dataclass(frozen=True)
+class MjcfSceneImport:
+    """Result of :func:`from_mjcf_scene`: one engine tree per
+    root-attached jointed subtree, plus the cross-tree contact pairs
+    declared by ``<pair>`` elements."""
+
+    scene: "object"  # physics.scene.Scene
+    qpos0s: tuple  # per-tree engine-layout reference configurations
+    imports: tuple  # per-tree MjcfImport (names, converters)
+
+
 def from_mjcf(
     xml: str,
     *,
@@ -166,21 +178,91 @@ def from_mjcf(
     friction: Optional[float] = None,
     **model_overrides,
 ) -> MjcfImport:
-    """Translate an MJCF document into an engine :class:`Model`.
+    """Translate a single-robot MJCF document into an engine Model.
 
     Args:
       xml: MJCF XML string, or a path to an XML file (detected by the
         absence of ``<``).
-      force_contacts: import sphere geoms as contact spheres even when
-        the MJCF declares no z = 0 world plane.
+      force_contacts: import contact geoms even when the MJCF declares
+        no z = 0 world plane.
       contact_stiffness / contact_damping: engine penalty-contact
         parameters (MuJoCo's solref/solimp constraint model has no
         direct equivalent).
       friction: contact friction coefficient; defaults to the first
-        imported sphere's MJCF sliding friction.
+        imported contact geom's MJCF sliding friction.
       **model_overrides: forwarded to :class:`Model` (e.g.
         ``friction_vel``, ``max_contact_force``, ``limit_stiffness``).
+
+    Raises ``ValueError`` for multi-tree worlds — use
+    :func:`from_mjcf_scene` for robot-plus-object scenes.
     """
+    trees, cross_pairs = _translate(
+        xml,
+        force_contacts=force_contacts,
+        contact_stiffness=contact_stiffness,
+        contact_damping=contact_damping,
+        friction=friction,
+        **model_overrides,
+    )
+    if len(trees) != 1:
+        raise ValueError(
+            f"MJCF contains {len(trees)} kinematic trees; use "
+            "from_mjcf_scene for multi-tree worlds"
+        )
+    return trees[0]
+
+
+def from_mjcf_scene(
+    xml: str,
+    *,
+    force_contacts: bool = False,
+    contact_stiffness: float = 5_000.0,
+    contact_damping: float = 100.0,
+    friction: Optional[float] = None,
+    **model_overrides,
+) -> MjcfSceneImport:
+    """Translate a multi-tree MJCF world (robot + objects) into a
+    :class:`~nnx_ppo_tpu.physics.scene.Scene`.
+
+    Each jointed subtree hanging off the world becomes its own engine
+    :class:`Model`; ``<pair>`` elements between geoms of different
+    trees become the scene's cross-tree contact pairs (within one tree
+    they stay model collision pairs). Same subset rules as
+    :func:`from_mjcf`."""
+    from nnx_ppo_tpu.physics.scene import Scene
+
+    trees, cross_pairs = _translate(
+        xml,
+        force_contacts=force_contacts,
+        contact_stiffness=contact_stiffness,
+        contact_damping=contact_damping,
+        friction=friction,
+        **model_overrides,
+    )
+    scene = Scene(
+        models=tuple(t.model for t in trees), pairs=tuple(cross_pairs)
+    )
+    return MjcfSceneImport(
+        scene=scene,
+        qpos0s=tuple(t.qpos0 for t in trees),
+        imports=tuple(trees),
+    )
+
+
+_MJ_GEOM_CAPSULE = 3
+
+
+def _translate(
+    xml: str,
+    *,
+    force_contacts: bool,
+    contact_stiffness: float,
+    contact_damping: float,
+    friction: Optional[float],
+    **model_overrides,
+):
+    """Shared MJCF translation: returns ``(list[MjcfImport] per tree,
+    cross-tree scene pairs)``."""
     import mujoco
 
     m = (
@@ -211,8 +293,9 @@ def from_mjcf(
     W_R = [np.eye(3)] * nb
     W_t = [np.zeros(3)] * nb
 
-    our_mj_body: list[int] = []  # our index → mj body id
+    our_mj_body: list[int] = []  # our GLOBAL index → mj body id
     parent_our: list[int] = []
+    tree_of: list[int] = []  # our global index → tree id
     joint_types: list[str] = []
     joint_axes: list[np.ndarray] = []
     joint_positions: list[np.ndarray] = []
@@ -238,29 +321,21 @@ def from_mjcf(
 
         j = int(m.body_jntadr[b])
         jtype = _JOINT_TYPE[int(m.jnt_type[j])]
-        if host[p] == _WORLD and parent_our.count(_WORLD) >= 1:
-            raise ValueError(
-                "multiple kinematic trees in one MJCF are not supported "
-                "(use physics/scene.py with one import per tree)"
-            )
+        oi = len(our_mj_body)
+        our_mj_body.append(b)
+        host[b] = oi
         if jtype == FREE:
             if host[p] != _WORLD:
                 raise ValueError("free joint must be on a base body")
             # The free pose is STATE: the world-weld offset and
             # body_quat live in qpos0 (mujoco composes them there), so
             # the our frame coincides with the mj body frame.
-            oi = len(our_mj_body)
-            our_mj_body.append(b)
-            host[b] = oi
             W_R[b], W_t[b] = np.eye(3), np.zeros(3)
             parent_our.append(_WORLD)
             joint_axes.append(np.zeros(3))
             joint_positions.append(np.zeros(3))
         else:
             anchor = m.jnt_pos[j].copy()
-            oi = len(our_mj_body)
-            our_mj_body.append(b)
-            host[b] = oi
             parent_our.append(host[p])
             # Our origin = joint anchor; our axes = parent-host axes.
             # Content coords: x_our = W_R @ (x_mj − anchor).
@@ -268,12 +343,18 @@ def from_mjcf(
             W_R[b] = R_in_host
             W_t[b] = -R_in_host @ anchor
             joint_axes.append(W_R[b] @ m.jnt_axis[j])
+        tree_of.append(
+            tree_of[parent_our[-1]]
+            if parent_our[-1] != _WORLD
+            else (max(tree_of) + 1 if tree_of else 0)
+        )
         joint_types.append(jtype)
         joint_ids.append(j)
 
     n_our = len(our_mj_body)
     if n_our == 0:
         raise ValueError("MJCF contains no jointed bodies")
+    n_trees = max(tree_of) + 1
 
     # ------------------------------------------------------------------
     # Pass 2 — inertia: combine every mj body's inertia into its host
@@ -305,12 +386,13 @@ def from_mjcf(
         inertia[oi] = I
 
     # ------------------------------------------------------------------
-    # Pass 3 — geoms. Ground plane detection, contact spheres, pairs.
+    # Pass 3 — geoms. Ground-plane detection, contact spheres (capsules
+    # import as a sphere at each cap center), explicit pairs.
     # ------------------------------------------------------------------
     has_ground = False
     skipped: list[str] = []
-    geom_map: dict[int, int] = {}  # mj geom id → our geom index
-    geom_body: list[int] = []
+    geom_map: dict[int, list[int]] = {}  # mj geom id → our GLOBAL slots
+    geom_body: list[int] = []  # global our-body index
     geom_offset: list[np.ndarray] = []
     geom_radius: list[float] = []
     geom_names: list[str] = []
@@ -331,16 +413,34 @@ def from_mjcf(
             else:
                 skipped.append(geom_label(g))
             continue
-        if gtype == _MJ_GEOM_SPHERE and host[b] != _WORLD:
-            geom_map[g] = len(geom_body)
-            geom_body.append(host[b])
-            geom_offset.append(W_R[b] @ m.geom_pos[g] + W_t[b])
-            geom_radius.append(float(m.geom_size[g, 0]))
-            geom_names.append(geom_label(g))
-            if default_friction is None:
-                default_friction = float(m.geom_friction[g, 0])
+        if host[b] == _WORLD:
+            skipped.append(geom_label(g))
+            continue
+        if gtype == _MJ_GEOM_SPHERE:
+            centers = [m.geom_pos[g]]
+            names = [geom_label(g)]
+        elif gtype == _MJ_GEOM_CAPSULE:
+            # Two-sphere approximation: one contact sphere per cap
+            # center (the segment axis is the geom frame's z).
+            axis_z = _quat_to_mat(m.geom_quat[g])[:, 2]
+            half = float(m.geom_size[g, 1])
+            centers = [
+                m.geom_pos[g] + half * axis_z,
+                m.geom_pos[g] - half * axis_z,
+            ]
+            names = [f"{geom_label(g)}_cap0", f"{geom_label(g)}_cap1"]
         else:
             skipped.append(geom_label(g))
+            continue
+        geom_map[g] = []
+        for cpos, nm in zip(centers, names):
+            geom_map[g].append(len(geom_body))
+            geom_body.append(host[b])
+            geom_offset.append(W_R[b] @ cpos + W_t[b])
+            geom_radius.append(float(m.geom_size[g, 0]))
+            geom_names.append(nm)
+        if default_friction is None:
+            default_friction = float(m.geom_friction[g, 0])
 
     if not has_ground and not force_contacts:
         # No representable floor: a contact sphere would collide with
@@ -349,87 +449,131 @@ def from_mjcf(
         geom_map.clear()
         geom_body, geom_offset, geom_radius, geom_names = [], [], [], []
 
-    pair_a: list[int] = []
-    pair_b: list[int] = []
+    # Explicit <pair> elements: every (our slot, our slot) combination
+    # of the two geoms' imported spheres (capsules contribute two).
+    pair_slots: list[tuple[int, int]] = []
     for k in range(m.npair):
         ga, gb = int(m.pair_geom1[k]), int(m.pair_geom2[k])
-        if ga in geom_map and gb in geom_map:
-            pair_a.append(geom_map[ga])
-            pair_b.append(geom_map[gb])
+        for sa in geom_map.get(ga, ()):
+            for sb in geom_map.get(gb, ()):
+                pair_slots.append((sa, sb))
 
     # ------------------------------------------------------------------
-    # Pass 4 — per-dof arrays and qpos0, in our body order (= mj joint
-    # order, one joint per body). The engine's free-base dof order is
-    # [ω(3), v(3)]; MuJoCo's is [v(3), ω(3)] — swap those halves.
+    # Pass 4 — split by tree, build Models + qpos0s.
     # ------------------------------------------------------------------
-    damping: list[float] = []
-    armature: list[float] = []
-    lower: list[float] = []
-    upper: list[float] = []
-    qpos0: list[float] = []
-    for oi, b in enumerate(our_mj_body):
-        j = joint_ids[oi]
-        jtype = joint_types[oi]
-        nvj, nqj = _NV[jtype], _NQ[jtype]
-        dof0 = int(m.jnt_dofadr[j])
-        q0 = int(m.jnt_qposadr[j])
-        d = list(m.dof_damping[dof0 : dof0 + nvj])
-        a = list(m.dof_armature[dof0 : dof0 + nvj])
-        if jtype == FREE:
-            d = d[3:] + d[:3]
-            a = a[3:] + a[:3]
-        damping.extend(d)
-        armature.extend(a)
-        if jtype in (HINGE, SLIDE) and bool(m.jnt_limited[j]):
-            lower.append(float(m.jnt_range[j, 0]))
-            upper.append(float(m.jnt_range[j, 1]))
-        else:
-            lower.extend([-np.inf] * nvj)
-            upper.extend([np.inf] * nvj)
-        seg = np.asarray(m.qpos0[q0 : q0 + nqj], np.float64)
-        if jtype == BALL:
-            # Conjugate the state quaternion into the our-frame axes.
-            qA = _mat_to_quat(W_R[b])
-            qAinv = qA * np.array([1.0, -1.0, -1.0, -1.0])
-            seg = _quat_mul(_quat_mul(qA, seg), qAinv)
-        qpos0.extend(seg.tolist())
+    fric = (
+        friction
+        if friction is not None
+        else (default_friction if default_friction is not None else 0.8)
+    )
+    tree_imports: list[MjcfImport] = []
+    body_local: dict[int, int] = {}  # global our index → local index
+    geom_local: dict[int, tuple[int, int]] = {}  # global slot → (tree, local)
+    for t in range(n_trees):
+        bodies = [oi for oi in range(n_our) if tree_of[oi] == t]
+        for li, oi in enumerate(bodies):
+            body_local[oi] = li
+        t_parent = tuple(
+            -1 if parent_our[oi] == _WORLD else body_local[parent_our[oi]]
+            for oi in bodies
+        )
+        damping: list[float] = []
+        armature: list[float] = []
+        lower: list[float] = []
+        upper: list[float] = []
+        qpos0: list[float] = []
+        for oi in bodies:
+            j = joint_ids[oi]
+            jtype = joint_types[oi]
+            nvj, nqj = _NV[jtype], _NQ[jtype]
+            dof0 = int(m.jnt_dofadr[j])
+            q0 = int(m.jnt_qposadr[j])
+            d = list(m.dof_damping[dof0 : dof0 + nvj])
+            a = list(m.dof_armature[dof0 : dof0 + nvj])
+            if jtype == FREE:
+                # MuJoCo free dof order is [v(3), ω(3)]; engine is
+                # [ω(3), v(3)].
+                d = d[3:] + d[:3]
+                a = a[3:] + a[:3]
+            damping.extend(d)
+            armature.extend(a)
+            if jtype in (HINGE, SLIDE) and bool(m.jnt_limited[j]):
+                lower.append(float(m.jnt_range[j, 0]))
+                upper.append(float(m.jnt_range[j, 1]))
+            else:
+                lower.extend([-np.inf] * nvj)
+                upper.extend([np.inf] * nvj)
+            seg = np.asarray(m.qpos0[q0 : q0 + nqj], np.float64)
+            if jtype == BALL:
+                # Conjugate the state quaternion into our-frame axes.
+                qA = _mat_to_quat(W_R[our_mj_body[oi]])
+                qAinv = qA * np.array([1.0, -1.0, -1.0, -1.0])
+                seg = _quat_mul(_quat_mul(qA, seg), qAinv)
+            qpos0.extend(seg.tolist())
 
-    model = Model(
-        parent=tuple(parent_our),
-        joint_type=tuple(joint_types),
-        joint_axis=np.asarray(joint_axes, np.float64),
-        joint_pos=np.asarray(joint_positions, np.float64),
-        mass=mass,
-        com=com,
-        inertia=inertia,
-        geom_body=tuple(geom_body),
-        geom_offset=(
-            np.asarray(geom_offset, np.float64)
-            if geom_offset
-            else np.zeros((0, 3))
-        ),
-        geom_radius=np.asarray(geom_radius, np.float64),
-        damping=np.asarray(damping),
-        armature=np.asarray(armature),
-        joint_lower=np.asarray(lower),
-        joint_upper=np.asarray(upper),
-        pair_geom_a=tuple(pair_a),
-        pair_geom_b=tuple(pair_b),
-        gravity=gravity,
-        contact_stiffness=contact_stiffness,
-        contact_damping=contact_damping,
-        friction=(
-            friction
-            if friction is not None
-            else (default_friction if default_friction is not None else 0.8)
-        ),
-        **model_overrides,
-    )
-    return MjcfImport(
-        model=model,
-        qpos0=np.asarray(qpos0, np.float32),
-        body_names=tuple(body_name(b) for b in our_mj_body),
-        geom_names=tuple(geom_names),
-        skipped_geoms=tuple(skipped),
-        has_ground=has_ground,
-    )
+        t_geoms = [
+            s for s in range(len(geom_body)) if tree_of[geom_body[s]] == t
+        ]
+        for li, s in enumerate(t_geoms):
+            geom_local[s] = (t, li)
+        t_pairs = [
+            (geom_local[sa][1], geom_local[sb][1])
+            for sa, sb in pair_slots
+            if tree_of[geom_body[sa]] == t and tree_of[geom_body[sb]] == t
+        ]
+
+        model = Model(
+            parent=t_parent,
+            joint_type=tuple(joint_types[oi] for oi in bodies),
+            joint_axis=np.asarray(
+                [joint_axes[oi] for oi in bodies], np.float64
+            ),
+            joint_pos=np.asarray(
+                [joint_positions[oi] for oi in bodies], np.float64
+            ),
+            mass=mass[bodies],
+            com=com[bodies],
+            inertia=inertia[bodies],
+            geom_body=tuple(body_local[geom_body[s]] for s in t_geoms),
+            geom_offset=(
+                np.asarray([geom_offset[s] for s in t_geoms], np.float64)
+                if t_geoms
+                else np.zeros((0, 3))
+            ),
+            geom_radius=np.asarray([geom_radius[s] for s in t_geoms]),
+            damping=np.asarray(damping),
+            armature=np.asarray(armature),
+            joint_lower=np.asarray(lower),
+            joint_upper=np.asarray(upper),
+            pair_geom_a=tuple(pa for pa, _ in t_pairs),
+            pair_geom_b=tuple(pb for _, pb in t_pairs),
+            gravity=gravity,
+            contact_stiffness=contact_stiffness,
+            contact_damping=contact_damping,
+            friction=fric,
+            **model_overrides,
+        )
+        tree_imports.append(
+            MjcfImport(
+                model=model,
+                qpos0=np.asarray(qpos0, np.float32),
+                body_names=tuple(
+                    body_name(our_mj_body[oi]) for oi in bodies
+                ),
+                geom_names=tuple(geom_names[s] for s in t_geoms),
+                skipped_geoms=tuple(skipped),
+                has_ground=has_ground,
+            )
+        )
+
+    cross_pairs = [
+        (
+            geom_local[sa][0],
+            geom_local[sa][1],
+            geom_local[sb][0],
+            geom_local[sb][1],
+        )
+        for sa, sb in pair_slots
+        if tree_of[geom_body[sa]] != tree_of[geom_body[sb]]
+    ]
+    return tree_imports, cross_pairs

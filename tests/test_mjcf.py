@@ -21,7 +21,7 @@ from nnx_ppo_tpu.physics.engine import (
     mass_matrix,
     step,
 )
-from nnx_ppo_tpu.physics.mjcf import from_mjcf
+from nnx_ppo_tpu.physics.mjcf import from_mjcf, from_mjcf_scene
 
 # A gnarly fixed-base arm: rotated child frames (body_quat), off-origin
 # joint anchors (jnt_pos), off-axis COMs, full per-joint damping /
@@ -259,7 +259,7 @@ class TestErrors:
         with pytest.raises(ValueError, match="one joint per body"):
             from_mjcf(xml)
 
-    def test_two_trees_rejected(self):
+    def test_two_trees_rejected_by_single_import(self):
         xml = """
         <mujoco><worldbody>
           <body pos="0 0 1"><joint type="hinge" axis="1 0 0"/>
@@ -267,5 +267,66 @@ class TestErrors:
           <body pos="1 0 1"><joint type="hinge" axis="1 0 0"/>
             <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/></body>
         </worldbody></mujoco>"""
-        with pytest.raises(ValueError, match="multiple kinematic trees"):
+        with pytest.raises(ValueError, match="kinematic trees"):
             from_mjcf(xml)
+
+
+SCENE_XML = """
+<mujoco>
+  <option gravity="0 0 -9.81"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 0.1"/>
+    <body name="arm_base" pos="0 0 0.12">
+      <joint name="swing" type="hinge" axis="0 0 1" damping="0.5"/>
+      <inertial pos="0.15 0 0" mass="1.2" diaginertia="0.01 0.01 0.004"/>
+      <geom name="tip" type="capsule" size="0.05 0.1" pos="0.3 0 0"
+            quat="0.7071068 0 0.7071068 0"/>
+    </body>
+    <body name="ball" pos="0.42 -0.2 0.1">
+      <freejoint/>
+      <inertial pos="0 0 0" mass="0.4" diaginertia="0.002 0.002 0.002"/>
+      <geom name="ball_g" type="sphere" size="0.08" friction="0.5 0.005 0.0001"/>
+    </body>
+  </worldbody>
+  <contact><pair geom1="tip" geom2="ball_g"/></contact>
+</mujoco>
+"""
+
+
+class TestSceneImport:
+    def test_capsule_two_sphere_import(self):
+        imp = from_mjcf_scene(SCENE_XML)
+        arm = imp.imports[0]
+        # The capsule imports as one sphere per cap center; the geom
+        # frame's z (rotated onto world x by the quat) sets the axis.
+        assert arm.geom_names == ("tip_cap0", "tip_cap1")
+        np.testing.assert_allclose(
+            np.asarray(arm.model.geom_offset),
+            [[0.4, 0.0, 0.0], [0.2, 0.0, 0.0]],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(arm.model.geom_radius, [0.05, 0.05])
+        ball = imp.imports[1]
+        assert ball.geom_names == ("ball_g",)
+        assert ball.model.free_base
+
+    def test_cross_tree_pair_and_dynamics(self):
+        from nnx_ppo_tpu.physics.scene import scene_step
+
+        imp = from_mjcf_scene(SCENE_XML)
+        assert len(imp.scene.models) == 2
+        # The capsule's two spheres each pair against the ball.
+        assert imp.scene.pairs == ((0, 0, 1, 0), (0, 1, 1, 0))
+        # Swing the arm into the ball: the ball must get pushed.
+        qposs = tuple(jnp.asarray(q) for q in imp.qpos0s)
+        qvels = (jnp.asarray([-3.0]), jnp.zeros(6))
+        taus = (jnp.asarray([-1.5]), jnp.zeros(6))  # drive through damping
+        run = jax.jit(
+            lambda qp, qv: scene_step(
+                imp.scene, qp, qv, taus, 0.002, n_substeps=400
+            )
+        )
+        qposs, qvels, _ = run(qposs, qvels)
+        ball_qpos = np.asarray(qposs[1])
+        moved = np.linalg.norm(ball_qpos[0:2] - np.array([0.42, -0.2]))
+        assert moved > 0.05  # contact transferred momentum
