@@ -26,6 +26,7 @@ from nnx_ppo_tpu.physics.engine_depthwise import (
     mass_matrix_inverse_dw,
 )
 from nnx_ppo_tpu.physics.mjcf import (
+    ActuatorSpec,
     MjcfImport,
     MjcfSceneImport,
     from_mjcf,
@@ -40,6 +41,7 @@ from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
 from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain, stairs
 
 __all__ = [
+    "ActuatorSpec",
     "DepthPlan",
     "DomainParams",
     "DomainRandomization",

@@ -115,6 +115,36 @@ def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     )
 
 
+class ActuatorSpec:
+    """One MJCF joint actuator, translated to engine terms.
+
+    The engine applies raw generalized torques (the env owns control),
+    so actuators import as METADATA for envs to consume: ``dof`` is the
+    engine qvel index the actuator drives, ``kind`` one of ``"motor"``
+    (``τ = gear · ctrl``), ``"position"`` (PD: ``τ = kp·(ctrl − q) −
+    kv·q̇``), ``"velocity"`` (``τ = kv·(ctrl − q̇)``), or ``"other"``
+    (unrecognized gain/bias structure — use the raw fields)."""
+
+    __slots__ = ("name", "joint", "dof", "kind", "gear", "kp", "kv",
+                 "ctrlrange")
+
+    def __init__(self, name, joint, dof, kind, gear, kp, kv, ctrlrange):
+        self.name = name
+        self.joint = joint
+        self.dof = dof
+        self.kind = kind
+        self.gear = gear
+        self.kp = kp
+        self.kv = kv
+        self.ctrlrange = ctrlrange
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return (
+            f"ActuatorSpec({self.name!r}, joint={self.joint!r}, "
+            f"dof={self.dof}, kind={self.kind!r})"
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class MjcfImport:
     """Result of :func:`from_mjcf`."""
@@ -125,6 +155,7 @@ class MjcfImport:
     geom_names: tuple  # our contact-geom index → MJCF geom name
     skipped_geoms: tuple  # MJCF geom names not imported as contacts
     has_ground: bool  # MJCF declared a z = 0 world plane
+    actuators: tuple = ()  # joint ActuatorSpecs (env-consumed metadata)
 
     def qvel_from_mujoco(self, qpos, qvel_mj) -> np.ndarray:
         """MuJoCo qvel → engine qvel.
@@ -553,6 +584,59 @@ def _translate(
             friction=fric,
             **model_overrides,
         )
+        # Joint actuators (metadata for envs): engine dof = this tree's
+        # dof cursor at the actuated joint.
+        dof_start = {}
+        cursor = 0
+        for oi in bodies:
+            dof_start[joint_ids[oi]] = cursor
+            cursor += _NV[joint_types[oi]]
+        t_actuators = []
+        for u in range(m.nu):
+            if int(m.actuator_trntype[u]) != 0:  # joint transmission only
+                continue
+            j = int(m.actuator_trnid[u, 0])
+            if j not in dof_start:
+                continue
+            gainprm = m.actuator_gainprm[u]
+            biasprm = m.actuator_biasprm[u]
+            kind, gear, kp, kv = "other", float(m.actuator_gear[u, 0]), 0.0, 0.0
+            if int(m.actuator_biastype[u]) == 0 and gainprm[0] == 1.0:
+                kind = "motor"
+            elif int(m.actuator_biastype[u]) == 1 and biasprm[1] < 0:
+                kind = "position"
+                kp, kv = float(gainprm[0]), float(-biasprm[2])
+            elif int(m.actuator_biastype[u]) == 1 and biasprm[2] < 0:
+                kind = "velocity"
+                kv = float(-biasprm[2])
+            t_actuators.append(
+                ActuatorSpec(
+                    name=(
+                        mujoco.mj_id2name(
+                            m, mujoco.mjtObj.mjOBJ_ACTUATOR, u
+                        )
+                        or f"actuator{u}"
+                    ),
+                    joint=(
+                        mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_JOINT, j)
+                        or f"joint{j}"
+                    ),
+                    dof=dof_start[j],
+                    kind=kind,
+                    gear=gear,
+                    kp=kp,
+                    kv=kv,
+                    ctrlrange=(
+                        (
+                            float(m.actuator_ctrlrange[u, 0]),
+                            float(m.actuator_ctrlrange[u, 1]),
+                        )
+                        if bool(m.actuator_ctrllimited[u])
+                        else None
+                    ),
+                )
+            )
+
         tree_imports.append(
             MjcfImport(
                 model=model,
@@ -563,6 +647,7 @@ def _translate(
                 geom_names=tuple(geom_names[s] for s in t_geoms),
                 skipped_geoms=tuple(skipped),
                 has_ground=has_ground,
+                actuators=tuple(t_actuators),
             )
         )
 

@@ -186,6 +186,68 @@ class TestFreeBaseTree:
         )
 
 
+class TestTrajectoryParity:
+    def test_mj_step_trajectory_matches(self):
+        """Whole-trajectory agreement with ``mj_step``: MuJoCo's Euler
+        integrator uses the same semi-implicit scheme with implicit
+        joint damping as the engine, so 150 steps (0.3 s) of the
+        passive arm stay within float noise — integrator semantics, not
+        just instantaneous accelerations, match."""
+        imp = from_mjcf(ARM_XML)
+        m = mujoco.MjModel.from_xml_string(ARM_XML)
+        m.opt.timestep = 0.002
+        d = mujoco.MjData(m)
+        rng = np.random.RandomState(5)
+        q0 = rng.uniform(-0.8, 0.8, 2)
+        v0 = rng.uniform(-1.0, 1.0, 2)
+        d.qpos[:] = q0
+        d.qvel[:] = v0
+        mj_traj = []
+        for _ in range(150):
+            mujoco.mj_step(m, d)
+            mj_traj.append(d.qpos.copy())
+
+        def scan_steps(qp, qv):
+            def body(c, _):
+                qp, qv = c
+                qp, qv, _ = step(
+                    imp.model, qp, qv, jnp.zeros(2), 0.002, n_substeps=1
+                )
+                return (qp, qv), qp
+
+            _, traj = jax.lax.scan(body, (qp, qv), None, length=150)
+            return traj
+
+        traj = jax.jit(scan_steps)(
+            jnp.asarray(q0, jnp.float32), jnp.asarray(v0, jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(traj), np.asarray(mj_traj), atol=5e-5
+        )
+
+
+class TestActuatorImport:
+    XML = """
+    <mujoco><compiler angle="radian"/><worldbody>
+    <body pos="0 0 1"><joint name="j1" type="hinge" axis="0 1 0"/>
+     <inertial pos="0 0 -0.2" mass="1" diaginertia="0.01 0.01 0.002"/>
+     <body pos="0 0 -0.4"><joint name="j2" type="hinge" axis="0 1 0"/>
+      <inertial pos="0 0 -0.2" mass="0.5" diaginertia="0.005 0.005 0.001"/>
+     </body></body></worldbody>
+    <actuator>
+      <motor name="m1" joint="j1" gear="20" ctrlrange="-1 1"/>
+      <position name="p2" joint="j2" kp="45" kv="2.5" ctrlrange="-0.8 0.8"/>
+    </actuator></mujoco>"""
+
+    def test_specs(self):
+        imp = from_mjcf(self.XML)
+        a1, a2 = imp.actuators
+        assert (a1.kind, a1.joint, a1.dof, a1.gear) == ("motor", "j1", 0, 20.0)
+        assert a1.ctrlrange == (-1.0, 1.0)
+        assert (a2.kind, a2.joint, a2.dof) == ("position", "j2", 1)
+        assert (a2.kp, a2.kv) == (45.0, 2.5)
+
+
 class TestContactImportRules:
     def test_no_floor_no_contacts(self):
         imp = from_mjcf(
