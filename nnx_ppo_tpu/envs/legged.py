@@ -156,10 +156,10 @@ class LeggedJoystick:
         # bodies at equal tree depth computed as one [K, ...] batched op
         # instead of K sequential chains — the substep's sequential
         # kernel count drops ~n_bodies/depth-fold. None = auto (use it
-        # whenever the model is in the supported free-base/all-hinge/
-        # no-pairs family; exactness vs the generic engine is
-        # suite-tested); True = require (raise if unsupported);
-        # False = always the generic engine.
+        # whenever the model is in the supported free-base/all-hinge
+        # family, collision pairs included; exactness vs the generic
+        # engine is suite-tested); True = require (raise if
+        # unsupported); False = always the generic engine.
         if depthwise is False:
             self._plan = None
         elif depthwise:

@@ -156,22 +156,32 @@ class MjcfImport:
     skipped_geoms: tuple  # MJCF geom names not imported as contacts
     has_ground: bool  # MJCF declared a z = 0 world plane
     actuators: tuple = ()  # joint ActuatorSpecs (env-consumed metadata)
+    # Ball joints whose body carried a fixed rotation (body_quat /
+    # inherited frame / hinge-ref fold): (engine dof index, W_R) pairs;
+    # their mj angular dofs live in the mj body frame while the engine's
+    # live in the unrolled frame — conjugate by W_R on conversion.
+    ball_dof_rotations: tuple = ()
 
     def qvel_from_mujoco(self, qpos, qvel_mj) -> np.ndarray:
         """MuJoCo qvel → engine qvel.
 
         Free joints: MuJoCo stores ``[v_world(3), ω_body(3)]``, the
         engine ``[ω_body(3), v_body(3)]``; ``qpos`` (identical layout
-        in both) supplies the base orientation. Other dofs coincide."""
+        in both) supplies the base orientation. Ball-joint angular
+        dofs rotate by the body's unrolled frame (``W_R ω_mj``); other
+        dofs coincide."""
         out = np.asarray(qvel_mj, np.float64).copy()
         if self.model.free_base:
             E = _quat_to_mat(np.asarray(qpos[3:7], np.float64))
             out[0:3] = np.asarray(qvel_mj[3:6])
             out[3:6] = E.T @ np.asarray(qvel_mj[0:3])
+        for dof, R in self.ball_dof_rotations:
+            out[dof : dof + 3] = R @ out[dof : dof + 3]
         return out
 
     def qacc_from_mujoco(self, qpos, qvel_mj, qacc_mj) -> np.ndarray:
-        """MuJoCo qacc → engine qacc (free-base transport term).
+        """MuJoCo qacc → engine qacc (free-base transport term; ball
+        dofs conjugated like :meth:`qvel_from_mujoco`).
 
         The engine's linear acceleration dof is ``d/dt(v_body)``;
         MuJoCo's is ``d/dt(v_world)``. With ``v_body = Eᵀ v_world``:
@@ -185,6 +195,8 @@ class MjcfImport:
             out[3:6] = E.T @ np.asarray(qacc_mj[0:3]) - np.cross(
                 w_body, v_body
             )
+        for dof, R in self.ball_dof_rotations:
+            out[dof : dof + 3] = R @ out[dof : dof + 3]
         return out
 
 
@@ -367,12 +379,42 @@ def _translate(
             joint_positions.append(np.zeros(3))
         else:
             anchor = m.jnt_pos[j].copy()
+            ref = float(m.qpos0[int(m.jnt_qposadr[j])]) if jtype in (
+                HINGE,
+                SLIDE,
+            ) else 0.0
             parent_our.append(host[p])
             # Our origin = joint anchor; our axes = parent-host axes.
             # Content coords: x_our = W_R @ (x_mj − anchor).
-            joint_positions.append(t_in_host + R_in_host @ anchor)
-            W_R[b] = R_in_host
-            W_t[b] = -R_in_host @ anchor
+            jpos = t_in_host + R_in_host @ anchor
+            if jtype == HINGE and ref != 0.0:
+                # MuJoCo rotates by (q − ref); the engine rotates by q.
+                # rot(axis, q − ref) = rot(axis, −ref) · rot(axis, q),
+                # so the constant rot(axis, −ref) folds into the frame
+                # unroll like any body_quat (it fixes the axis and the
+                # anchor, so jpos and the axis direction are unchanged).
+                a = m.jnt_axis[j] / np.linalg.norm(m.jnt_axis[j])
+                K = np.array(
+                    [
+                        [0.0, -a[2], a[1]],
+                        [a[2], 0.0, -a[0]],
+                        [-a[1], a[0], 0.0],
+                    ]
+                )
+                R_ref = (
+                    np.eye(3)
+                    - np.sin(ref) * K
+                    + (1.0 - np.cos(ref)) * (K @ K)
+                )  # rot(axis, −ref)
+                W_R[b] = R_in_host @ R_ref
+            else:
+                W_R[b] = R_in_host
+            if jtype == SLIDE and ref != 0.0:
+                # MuJoCo translates by (q − ref): shift the anchor back
+                # by ref along the (parent-frame) axis.
+                jpos = jpos - ref * (R_in_host @ m.jnt_axis[j])
+            joint_positions.append(jpos)
+            W_t[b] = -W_R[b] @ anchor
             joint_axes.append(W_R[b] @ m.jnt_axis[j])
         tree_of.append(
             tree_of[parent_our[-1]]
@@ -476,6 +518,19 @@ def _translate(
     if not has_ground and not force_contacts:
         # No representable floor: a contact sphere would collide with
         # the engine's implicit z = 0 ground that the MJCF never had.
+        # Explicit <pair> contacts would silently vanish with their
+        # geoms — refuse instead, the user must opt in.
+        if m.npair and any(
+            int(m.pair_geom1[k]) in geom_map
+            or int(m.pair_geom2[k]) in geom_map
+            for k in range(m.npair)
+        ):
+            raise ValueError(
+                "MJCF declares <pair> contacts but no z = 0 ground "
+                "plane; pass force_contacts=True to import the contact "
+                "geoms (they will also collide with the engine's "
+                "implicit z = 0 ground)"
+            )
         skipped.extend(geom_names)
         geom_map.clear()
         geom_body, geom_offset, geom_radius, geom_names = [], [], [], []
@@ -588,8 +643,13 @@ def _translate(
         # dof cursor at the actuated joint.
         dof_start = {}
         cursor = 0
+        ball_rots = []
         for oi in bodies:
             dof_start[joint_ids[oi]] = cursor
+            if joint_types[oi] == BALL:
+                R = W_R[our_mj_body[oi]]
+                if not np.allclose(R, np.eye(3), atol=1e-12):
+                    ball_rots.append((cursor, R.copy()))
             cursor += _NV[joint_types[oi]]
         t_actuators = []
         for u in range(m.nu):
@@ -648,6 +708,7 @@ def _translate(
                 skipped_geoms=tuple(skipped),
                 has_ground=has_ground,
                 actuators=tuple(t_actuators),
+                ball_dof_rotations=tuple(ball_rots),
             )
         )
 

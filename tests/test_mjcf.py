@@ -249,6 +249,26 @@ class TestActuatorImport:
 
 
 class TestContactImportRules:
+    def test_floorless_pairs_refuse(self):
+        """<pair> contacts in a floorless MJCF must not vanish silently
+        — the import refuses and points at force_contacts."""
+        xml = """
+        <mujoco><worldbody>
+          <body pos="0 0 1"><freejoint/>
+            <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+            <geom name="ga" type="sphere" size="0.1"/>
+            <body pos="0.15 0 0"><joint type="hinge" axis="0 0 1"/>
+              <inertial pos="0 0 0" mass="0.5" diaginertia="0.004 0.004 0.004"/>
+              <geom name="gb" type="sphere" size="0.1"/>
+            </body>
+          </body>
+        </worldbody>
+        <contact><pair geom1="ga" geom2="gb"/></contact></mujoco>"""
+        with pytest.raises(ValueError, match="force_contacts"):
+            from_mjcf(xml)
+        imp = from_mjcf(xml, force_contacts=True)
+        assert imp.model.pair_geom_a == (0,)
+
     def test_no_floor_no_contacts(self):
         imp = from_mjcf(
             FREE_TREE_XML.replace(
@@ -309,6 +329,97 @@ class TestContactImportRules:
         imp = from_mjcf(xml)
         assert imp.model.pair_geom_a == (0,)
         assert imp.model.pair_geom_b == (1,)
+
+
+class TestJointRef:
+    XML = """
+    <mujoco><option gravity="0 0 -9.81"/><compiler angle="radian"/>
+    <worldbody>
+      <body pos="0 0 1">
+        <joint name="h" type="hinge" axis="0 1 0" ref="1.0" damping="0.2"/>
+        <inertial pos="0 0 -0.25" mass="1.0" diaginertia="0.01 0.01 0.002"/>
+        <body pos="0 0 -0.5">
+          <joint name="s" type="slide" axis="0 0 1" ref="0.3"/>
+          <inertial pos="0 0 -0.1" mass="0.4" diaginertia="0.003 0.003 0.001"/>
+        </body>
+      </body>
+    </worldbody></mujoco>"""
+
+    def test_hinge_and_slide_ref_match_mujoco(self):
+        """MuJoCo moves joints by (q − ref); the engine by q. The ref
+        folds into the frame unroll (hinge) / anchor shift (slide), so
+        dynamics agree at ANY q — including qpos0 = ref itself."""
+        imp = from_mjcf(self.XML)
+        rng = np.random.RandomState(3)
+        for qpos in (np.asarray(imp.qpos0, np.float64),
+                     rng.uniform(-1.0, 1.0, 2)):
+            qvel = rng.uniform(-1.0, 1.0, 2)
+            tau = rng.uniform(-2.0, 2.0, 2)
+            _, d, M_mj = _mj_state(self.XML, qpos, qvel, tau)
+            qacc, _ = forward_dynamics(
+                imp.model,
+                jnp.asarray(qpos, jnp.float32),
+                jnp.asarray(qvel, jnp.float32),
+                jnp.asarray(tau, jnp.float32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(qacc), d.qacc, rtol=2e-4, atol=2e-3
+            )
+            kin = fwd_kinematics(imp.model, jnp.asarray(qpos, jnp.float32))
+            np.testing.assert_allclose(
+                np.asarray(mass_matrix(imp.model, kin)),
+                M_mj,
+                rtol=1e-4,
+                atol=1e-6,
+            )
+
+
+class TestBallFrameConversion:
+    XML = """
+    <mujoco><option gravity="0 0 -9.81"/><compiler angle="radian"/>
+    <worldbody>
+      <body pos="0 0 1" quat="0.9238795 0 0.3826834 0">
+        <joint name="b" type="ball" damping="0.1"/>
+        <inertial pos="0.02 0 -0.2" mass="1.1" diaginertia="0.01 0.009 0.003"/>
+      </body>
+    </worldbody></mujoco>"""
+
+    def test_ball_dofs_conjugated(self):
+        """A ball joint on a rotated body frame: mj angular dofs live in
+        the mj body frame, engine dofs in the unrolled frame — the
+        converters must conjugate by W_R (regression: they used to pass
+        ball dofs through unchanged)."""
+        imp = from_mjcf(self.XML)
+        assert len(imp.ball_dof_rotations) == 1
+        rng = np.random.RandomState(7)
+        quat = rng.randn(4)
+        quat /= np.linalg.norm(quat)
+        qvel_mj = rng.uniform(-1.0, 1.0, 3)
+        m = mujoco.MjModel.from_xml_string(self.XML)
+        d = mujoco.MjData(m)
+        d.qpos[:] = quat
+        d.qvel[:] = qvel_mj
+        mujoco.mj_forward(m, d)
+
+        # Engine state: conjugate the quaternion like qpos0 does.
+        from nnx_ppo_tpu.physics.mjcf import _mat_to_quat, _quat_mul
+
+        dof, W_R = imp.ball_dof_rotations[0]
+        qA = _mat_to_quat(W_R)
+        qAinv = qA * np.array([1.0, -1.0, -1.0, -1.0])
+        qpos = _quat_mul(_quat_mul(qA, quat), qAinv)
+        qvel = imp.qvel_from_mujoco(qpos, qvel_mj)
+        tau = np.zeros(3)
+        qacc, _ = forward_dynamics(
+            imp.model,
+            jnp.asarray(qpos, jnp.float32),
+            jnp.asarray(qvel, jnp.float32),
+            jnp.asarray(tau, jnp.float32),
+        )
+        expect = imp.qacc_from_mujoco(qpos, qvel_mj, d.qacc)
+        np.testing.assert_allclose(
+            np.asarray(qacc), expect, rtol=5e-4, atol=5e-3
+        )
 
 
 class TestErrors:
