@@ -3,7 +3,7 @@
 The robot below is described the way a MuJoCo user would write it —
 free-floating trunk, four 3-hinge legs with joint anchors, foot
 spheres, a ground plane — then imported onto the TPU-native engine
-with :func:`nnx_ppo_tpu.physics.from_mjcf` and trained with the
+with :func:`nnx_ppo_tpu.envs.legged_from_mjcf` and trained with the
 standard :class:`~nnx_ppo_tpu.envs.legged.LeggedJoystick` env.
 
 Run: ``python examples/mjcf_import.py [--steps N]``
@@ -32,7 +32,6 @@ from nnx_ppo_tpu.networks import (
     Sequential,
     make_mlp,
 )
-from nnx_ppo_tpu.physics import from_mjcf
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
 # A Go1-class quadruped in ordinary MJCF idiom.
@@ -88,24 +87,39 @@ QUADRUPED_MJCF = (
     + """
     </body>
   </worldbody>
+  <actuator>
+"""
+    + "".join(
+        f'    <position joint="{leg}_{j}" kp="60" kv="0"'
+        f' ctrlrange="{lo} {hi}"/>\n'
+        for leg in ("FR", "FL", "RR", "RL")
+        for j, (lo, hi) in (
+            ("abd", (-0.5, 0.5)),
+            ("hip", (0.3, 1.3)),
+            ("knee", (-2.1, -1.1)),
+        )
+    )
+    + """
+  </actuator>
 </mujoco>
 """
 )
 
+# The MJCF declares the model at q = 0 (legs straight); the standing
+# crouch is a joint configuration, passed as the env's default pose.
 DEFAULT_POSE = np.array([0.0, 0.8, -1.6] * 4)
 
 
 def make_env(**kwargs) -> LeggedJoystick:
-    imp = from_mjcf(
-        QUADRUPED_MJCF, contact_stiffness=6_000.0, contact_damping=120.0
-    )
-    assert imp.has_ground and len(imp.geom_names) == 4
-    return LeggedJoystick(
-        imp.model,
-        DEFAULT_POSE,
+    """Build the joystick env straight from the XML: kp and per-joint
+    action scales come from the ``<position>`` actuators; the standing
+    pose overrides the MJCF zero configuration."""
+    from nnx_ppo_tpu.envs import legged_from_mjcf
+
+    return legged_from_mjcf(
+        QUADRUPED_MJCF,
+        default_pose=DEFAULT_POSE,
         stand_height=0.312,
-        kp=60.0,
-        action_scale=0.5,
         **kwargs,
     )
 

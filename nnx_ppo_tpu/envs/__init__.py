@@ -3,7 +3,7 @@ from nnx_ppo_tpu.envs.classic import CartpoleBalance, CartpoleSwingup, Pendulum
 from nnx_ppo_tpu.envs.locomotion import JoystickLocomotion
 from nnx_ppo_tpu.envs.mjx import MJX_AVAILABLE, MJXCartpoleBalance, MJXEnv
 from nnx_ppo_tpu.envs.humanoid import HumanoidJoystick
-from nnx_ppo_tpu.envs.legged import LeggedJoystick
+from nnx_ppo_tpu.envs.legged import LeggedJoystick, legged_from_mjcf
 from nnx_ppo_tpu.envs.quadruped import QuadrupedJoystick
 from nnx_ppo_tpu.envs.pusher import ArmPush
 from nnx_ppo_tpu.envs.reacher import ArmReacher
@@ -20,6 +20,7 @@ __all__ = [
     "QuadrupedJoystick",
     "HumanoidJoystick",
     "LeggedJoystick",
+    "legged_from_mjcf",
     "MJXEnv",
     "MJXCartpoleBalance",
     "MJX_AVAILABLE",

@@ -34,6 +34,106 @@ from nnx_ppo_tpu.physics.randomize import privileged_vector
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
 
 
+def legged_from_mjcf(
+    xml: str,
+    *,
+    kp: float | None = None,
+    action_scale=None,
+    n_feet: int | None = None,
+    default_pose=None,
+    stand_height: float | None = None,
+    contact_stiffness: float = 6_000.0,
+    contact_damping: float = 120.0,
+    **env_kwargs,
+):
+    """Build a :class:`LeggedJoystick` env directly from a MuJoCo MJCF
+    robot description (``physics/mjcf.py``).
+
+    The MJCF supplies what it knows best, the caller overrides the
+    rest:
+
+    * model / contact spheres / collision pairs — imported as usual
+      (the XML must declare a z = 0 floor plane);
+    * default pose and stand height — from the MJCF reference
+      configuration (``qpos0``): joint segment and base z. Override
+      with ``default_pose=`` / ``stand_height=`` when the nominal
+      stance differs from the declared zero configuration (e.g. a
+      crouch on a model drawn legs-straight);
+    * ``kp`` — from ``<position>`` actuators when present (their mean
+      P-gain); their D-gains (``kv``) fold into the model's implicit
+      joint damping (the env's PD convention: P explicit per substep,
+      D implicit in the solve);
+    * ``action_scale`` — per-joint half-widths of actuator ctrlranges
+      when present (``target = default_pose + scale · action``),
+      else the caller's scalar;
+    * ``n_feet`` — how many leading contact geoms are feet (contact
+      metrics only); defaults to all imported geoms.
+
+    Everything else (``terrain=``, ``randomize=``, ``obs_noise=``,
+    ``reuse_mass_matrix=``, …) passes through to
+    :class:`LeggedJoystick`.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from nnx_ppo_tpu.physics.mjcf import from_mjcf
+
+    imp = from_mjcf(
+        xml,
+        contact_stiffness=contact_stiffness,
+        contact_damping=contact_damping,
+    )
+    model = imp.model
+    if not model.free_base:
+        raise ValueError("legged_from_mjcf needs a free-base robot")
+    if not model.geom_body:
+        raise ValueError(
+            "no contact spheres imported — the MJCF needs a z = 0 "
+            "floor plane and sphere (or capsule) collision geoms"
+        )
+    if default_pose is None:
+        default_pose = np.asarray(imp.qpos0[7:], np.float64)
+    if stand_height is None:
+        stand_height = float(imp.qpos0[2])
+
+    position_acts = [a for a in imp.actuators if a.kind == "position"]
+    if kp is None:
+        if not position_acts:
+            raise ValueError(
+                "no <position> actuators in the MJCF — pass kp= "
+                "explicitly"
+            )
+        kp = float(np.mean([a.kp for a in position_acts]))
+    if position_acts and any(a.kv for a in position_acts):
+        # Fold actuator D-gains into the model's per-dof joint damping
+        # (the engine integrates damping implicitly, which is exactly
+        # how a stiff PD derivative term stays stable).
+        damping = np.asarray(model.damping, np.float64).copy()
+        for a in position_acts:
+            damping[a.dof] += a.kv
+        model = dataclasses.replace(model, damping=damping)
+    if action_scale is None:
+        ranged = [a for a in imp.actuators if a.ctrlrange is not None]
+        if len(ranged) == len(default_pose) and ranged:
+            scale = np.zeros(len(default_pose))
+            for a in ranged:
+                scale[a.dof - 6] = 0.5 * (a.ctrlrange[1] - a.ctrlrange[0])
+            action_scale = scale
+        else:
+            action_scale = 0.5
+
+    return LeggedJoystick(
+        model,
+        default_pose,
+        stand_height,
+        kp=kp,
+        action_scale=action_scale,
+        n_feet=(n_feet if n_feet is not None else len(model.geom_body)),
+        **env_kwargs,
+    )
+
+
 class LeggedJoystick:
     """Velocity-command tracking for a PD-actuated legged robot.
 
@@ -55,7 +155,8 @@ class LeggedJoystick:
         stand_height: float,
         *,
         kp: float,
-        action_scale: float,
+        action_scale,  # scalar or per-joint [n_act] array
+
         control_dt: float = 0.02,
         n_substeps: int = 10,
         max_command: tuple[float, float, float] = (1.0, 0.5, 1.5),

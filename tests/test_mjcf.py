@@ -422,6 +422,60 @@ class TestBallFrameConversion:
         )
 
 
+class TestLeggedFromMjcf:
+    XML = """
+    <mujoco><option gravity="0 0 -9.81"/><compiler angle="radian"/>
+    <worldbody>
+      <geom name="floor" type="plane" size="5 5 0.1"/>
+      <body name="trunk" pos="0 0 0.4">
+        <freejoint/>
+        <inertial pos="0 0 0" mass="4.0" diaginertia="0.05 0.05 0.04"/>
+        <body name="L" pos="0 0.1 0">
+          <joint name="Lh" type="hinge" axis="0 1 0" damping="1.0"/>
+          <inertial pos="0 0 -0.18" mass="0.8" diaginertia="0.006 0.006 0.001"/>
+          <geom name="Lf" type="sphere" size="0.03" pos="0 0 -0.36"/>
+        </body>
+        <body name="R" pos="0 -0.1 0">
+          <joint name="Rh" type="hinge" axis="0 1 0" damping="1.0"/>
+          <inertial pos="0 0 -0.18" mass="0.8" diaginertia="0.006 0.006 0.001"/>
+          <geom name="Rf" type="sphere" size="0.03" pos="0 0 -0.36"/>
+        </body>
+      </body>
+    </worldbody>
+    <actuator>
+      <position joint="Lh" kp="50" kv="2" ctrlrange="-0.6 0.6"/>
+      <position joint="Rh" kp="50" kv="2" ctrlrange="-0.6 0.6"/>
+    </actuator></mujoco>"""
+
+    def test_env_wiring(self):
+        from nnx_ppo_tpu.envs import legged_from_mjcf
+
+        env = legged_from_mjcf(self.XML, n_feet=2)
+        assert env.kp == 50.0  # from the position actuators
+        # kv folded into implicit joint damping: 1.0 (model) + 2.0 (kv).
+        np.testing.assert_allclose(env.model.damping[6:], [3.0, 3.0])
+        # Per-joint action scale from the ctrlrange half-widths.
+        np.testing.assert_allclose(np.asarray(env.action_scale), [0.6, 0.6])
+        assert env.stand_height == pytest.approx(0.4)
+        assert env._plan is not None  # depthwise auto-selected
+
+        state = env.reset(jax.random.key(0))
+        step = jax.jit(env.step)
+        for _ in range(25):  # 0.5 s of PD stand at the zero pose
+            state = step(state, jnp.zeros(2))
+        assert float(state.done) == 0.0
+        assert 0.3 < float(state.data["qpos"][2]) < 0.45
+
+    def test_requires_position_actuators_or_kp(self):
+        from nnx_ppo_tpu.envs import legged_from_mjcf
+
+        xml = self.XML.split("<actuator>")[0] + "</mujoco>"
+        with pytest.raises(ValueError, match="kp"):
+            legged_from_mjcf(xml)
+        env = legged_from_mjcf(xml, kp=40.0)
+        assert env.kp == 40.0 and float(env.action_scale) == 0.5
+
+
 class TestErrors:
     def test_two_joints_on_one_body_rejected(self):
         xml = """
