@@ -151,8 +151,32 @@ def _legged_physics(
     # sphere contacts + blocked Cholesky).
     from nnx_ppo_tpu.envs import HumanoidJoystick, QuadrupedJoystick
 
-    env_cls = {"quadruped": QuadrupedJoystick,
-               "humanoid": HumanoidJoystick}[env_name]
+    if env_name == "mjcf_quadruped":
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(__file__), "..", "examples"),
+        )
+        from mjcf_import import make_env
+
+        def env_cls(**kw):
+            # The MJCF XML fixes the collision/limit surface; only the
+            # generic LeggedJoystick options pass through.
+            if kw.pop("self_collision", False) or kw.pop(
+                "joint_limits", False
+            ):
+                raise ValueError(
+                    "mjcf_quadruped variants are defined by the XML"
+                )
+            return make_env(**kw)
+
+        env_cls.observation_size = {"proprio": 42, "command": 3}
+        env_cls.action_size = 12
+    else:
+        env_cls = {"quadruped": QuadrupedJoystick,
+                   "humanoid": HumanoidJoystick}[env_name]
     extra = {}
     if rough:
         from nnx_ppo_tpu.physics import rough_terrain
@@ -314,6 +338,12 @@ CONFIGS = {
     "population_graph": _population_graph,
     "reacher_4096": _reacher_4096,
     "pusher_4096": _pusher_4096,
+    # MJCF-imported quadruped (examples/mjcf_import.py XML →
+    # physics/mjcf.py → LeggedJoystick): measures that the import path
+    # produces the same-throughput-class model as the native builder.
+    "mjcf_quadruped_2048": functools.partial(
+        _legged_physics, "mjcf_quadruped", reuse_mass_matrix=True
+    ),
 }
 
 

@@ -143,6 +143,32 @@ def test_matches_with_domain_params():
     )
 
 
+def test_matches_with_per_body_mass_scale():
+    """DR mass_scale as a per-body [NB] array (not just a scalar) —
+    the depthwise path gathers it per level."""
+    model = make_quadruped()
+    plan = DepthPlan.build(model)
+    qpos, qvel, tau = _random_states(model, qd.default_qpos, B=1, seed=29)
+    scale = jnp.asarray(
+        1.0 + 0.3 * jax.random.normal(jax.random.key(30), (model.n_bodies,))
+    ).clip(0.5, 1.5)
+    params = DomainParams(mass_scale=scale)
+    dt = 0.002
+    ref = jax.jit(
+        lambda: forward_dynamics(
+            model, qpos[0], qvel[0], tau[0], dt=dt, params=params
+        )
+    )()
+    got = jax.jit(
+        lambda: forward_dynamics_dw(
+            model, plan, qpos[0], qvel[0], tau[0], dt=dt, params=params
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-4, atol=2e-3
+    )
+
+
 def test_matches_with_external_force():
     model = make_quadruped()
     plan = DepthPlan.build(model)
