@@ -96,6 +96,10 @@ def legged_from_mjcf(
         default_pose = np.asarray(imp.qpos0[7:], np.float64)
     if stand_height is None:
         stand_height = float(imp.qpos0[2])
+    if imp.terrain is not None and "terrain" not in env_kwargs:
+        # A world hfield imported as a HeightGrid becomes the env's
+        # ground (spawn heights and rewards measure relative to it).
+        env_kwargs["terrain"] = imp.terrain
 
     position_acts = [a for a in imp.actuators if a.kind == "position"]
     if kp is None:

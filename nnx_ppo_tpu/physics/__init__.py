@@ -38,7 +38,12 @@ from nnx_ppo_tpu.physics.randomize import (
     privileged_vector,
 )
 from nnx_ppo_tpu.physics.scene import Scene, scene_forward, scene_step
-from nnx_ppo_tpu.physics.terrain import Terrain, rough_terrain, stairs
+from nnx_ppo_tpu.physics.terrain import (
+    HeightGrid,
+    Terrain,
+    rough_terrain,
+    stairs,
+)
 
 __all__ = [
     "ActuatorSpec",
@@ -59,6 +64,7 @@ __all__ = [
     "SLIDE",
     "Model",
     "ModelBuilder",
+    "HeightGrid",
     "Scene",
     "Terrain",
     "rough_terrain",

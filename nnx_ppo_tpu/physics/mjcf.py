@@ -63,7 +63,7 @@ _JOINT_TYPE = {
 }
 _NV = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}
 _NQ = {FREE: 7, BALL: 4, SLIDE: 1, HINGE: 1}
-_MJ_GEOM_PLANE, _MJ_GEOM_SPHERE = 0, 2
+_MJ_GEOM_PLANE, _MJ_GEOM_HFIELD, _MJ_GEOM_SPHERE = 0, 1, 2
 _WORLD = -1
 
 
@@ -154,8 +154,11 @@ class MjcfImport:
     body_names: tuple  # our body index → MJCF body name
     geom_names: tuple  # our contact-geom index → MJCF geom name
     skipped_geoms: tuple  # MJCF geom names not imported as contacts
-    has_ground: bool  # MJCF declared a z = 0 world plane
+    has_ground: bool  # MJCF declared a world ground (plane or hfield)
     actuators: tuple = ()  # joint ActuatorSpecs (env-consumed metadata)
+    # World hfield geom translated to a bilinear HeightGrid terrain
+    # (pass to the envs / engine `terrain=`); None = flat z = 0 ground.
+    terrain: Optional[object] = None
     # Ball joints whose body carried a fixed rotation (body_quat /
     # inherited frame / hinge-ref fold): (engine dof index, W_R) pairs;
     # their mj angular dofs live in the mj body frame while the engine's
@@ -213,7 +216,7 @@ class MjcfSceneImport:
 
 
 def from_mjcf(
-    xml: str,
+    xml,
     *,
     force_contacts: bool = False,
     contact_stiffness: float = 5_000.0,
@@ -224,8 +227,10 @@ def from_mjcf(
     """Translate a single-robot MJCF document into an engine Model.
 
     Args:
-      xml: MJCF XML string, or a path to an XML file (detected by the
-        absence of ``<``).
+      xml: MJCF XML string, a path to an XML file (detected by the
+        absence of ``<``), or an already-compiled
+        :class:`mujoco.MjModel` (for filling runtime-settable assets
+        like ``hfield_data`` before importing).
       force_contacts: import contact geoms even when the MJCF declares
         no z = 0 world plane.
       contact_stiffness / contact_damping: engine penalty-contact
@@ -256,7 +261,7 @@ def from_mjcf(
 
 
 def from_mjcf_scene(
-    xml: str,
+    xml,
     *,
     force_contacts: bool = False,
     contact_stiffness: float = 5_000.0,
@@ -296,7 +301,7 @@ _MJ_GEOM_CAPSULE = 3
 
 
 def _translate(
-    xml: str,
+    xml,
     *,
     force_contacts: bool,
     contact_stiffness: float,
@@ -308,11 +313,16 @@ def _translate(
     cross-tree scene pairs)``."""
     import mujoco
 
-    m = (
-        mujoco.MjModel.from_xml_string(xml)
-        if "<" in xml
-        else mujoco.MjModel.from_xml_path(xml)
-    )
+    if isinstance(xml, str):
+        m = (
+            mujoco.MjModel.from_xml_string(xml)
+            if "<" in xml
+            else mujoco.MjModel.from_xml_path(xml)
+        )
+    else:
+        # A precompiled MjModel — lets callers fill runtime-settable
+        # assets (hfield_data) before importing.
+        m = xml
 
     if abs(m.opt.gravity[0]) > 1e-12 or abs(m.opt.gravity[1]) > 1e-12:
         raise ValueError("engine gravity must be along z")
@@ -463,6 +473,7 @@ def _translate(
     # import as a sphere at each cap center), explicit pairs.
     # ------------------------------------------------------------------
     has_ground = False
+    terrain = None
     skipped: list[str] = []
     geom_map: dict[int, list[int]] = {}  # mj geom id → our GLOBAL slots
     geom_body: list[int] = []  # global our-body index
@@ -473,6 +484,37 @@ def _translate(
     for g in range(m.ngeom):
         b = int(m.geom_bodyid[g])
         gtype = int(m.geom_type[g])
+        if gtype == _MJ_GEOM_HFIELD and host[b] == _WORLD:
+            # World heightfield → bilinear HeightGrid terrain (axis-
+            # aligned only: the engine's terrain is a function of world
+            # xy). MuJoCo layout: rows along y, cols along x, heights
+            # normalized to [0, 1] scaled by the hfield's z_top.
+            from nnx_ppo_tpu.physics.terrain import HeightGrid
+
+            R_g = W_R[b] @ _quat_to_mat(m.geom_quat[g])
+            pos = W_R[b] @ m.geom_pos[g] + W_t[b]
+            if terrain is not None or not np.allclose(
+                R_g, np.eye(3), atol=1e-9
+            ):
+                skipped.append(geom_label(g))
+                continue
+            hid = int(m.geom_dataid[g])
+            nrow = int(m.hfield_nrow[hid])
+            ncol = int(m.hfield_ncol[hid])
+            rx, ry, z_top, _ = (float(v) for v in m.hfield_size[hid])
+            adr = int(m.hfield_adr[hid])
+            rows = np.asarray(
+                m.hfield_data[adr : adr + nrow * ncol], np.float64
+            ).reshape(nrow, ncol)
+            terrain = HeightGrid(
+                data=rows.T * z_top + pos[2],  # [ncol(x), nrow(y)]
+                x0=float(pos[0] - rx),
+                y0=float(pos[1] - ry),
+                dx=2.0 * rx / (ncol - 1),
+                dy=2.0 * ry / (nrow - 1),
+            )
+            has_ground = True
+            continue
         if gtype == _MJ_GEOM_PLANE and host[b] == _WORLD:
             # World plane: representable iff it is the engine's z = 0
             # ground (world z-normal through the origin height).
@@ -708,6 +750,7 @@ def _translate(
                 skipped_geoms=tuple(skipped),
                 has_ground=has_ground,
                 actuators=tuple(t_actuators),
+                terrain=terrain,
                 ball_dof_rotations=tuple(ball_rots),
             )
         )

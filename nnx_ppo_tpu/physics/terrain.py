@@ -85,6 +85,95 @@ class Terrain:
         return n / jnp.sqrt(jnp.sum(n**2))
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class HeightGrid:
+    """Grid-based heightfield: bilinear interpolation over a sampled
+    height map — the counterpart to the analytic :class:`Terrain` for
+    ground that comes as DATA (MuJoCo ``hfield`` assets, scanned
+    elevation maps) rather than a formula.
+
+    Implements the same ``height(xy)`` / ``grad(xy)`` / ``normal(xy)``
+    surface the contact engine consumes; under ``vmap`` each lookup is
+    four clamped gathers plus fused arithmetic. The gradient is the
+    exact derivative of the bilinear interpolant (piecewise linear per
+    cell — consistent with ``height``, which is what the first-order
+    contact model needs). Outside the grid the edge values extend
+    flat. The array is trace-time constant data: one compiled program,
+    no per-env copies.
+
+    ``data[i, j]`` is the height at ``(x0 + i·dx, y0 + j·dy)``.
+    """
+
+    data: np.ndarray  # [nx, ny]
+    x0: float
+    y0: float
+    dx: float
+    dy: float
+
+    def __post_init__(self):
+        if np.asarray(self.data).ndim != 2:
+            raise ValueError("HeightGrid data must be [nx, ny]")
+        if min(np.asarray(self.data).shape) < 2:
+            raise ValueError("HeightGrid needs at least a 2x2 grid")
+
+    def _cell(self, xy: jax.Array):
+        d = jnp.asarray(self.data, jnp.float32)
+        nx, ny = d.shape
+        u = (xy[0] - self.x0) / self.dx
+        v = (xy[1] - self.y0) / self.dy
+        i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 2)
+        j = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ny - 2)
+        fx = jnp.clip(u - i, 0.0, 1.0)
+        fy = jnp.clip(v - j, 0.0, 1.0)
+        h00 = d[i, j]
+        h10 = d[i + 1, j]
+        h01 = d[i, j + 1]
+        h11 = d[i + 1, j + 1]
+        return h00, h10, h01, h11, fx, fy
+
+    def height(self, xy: jax.Array) -> jax.Array:
+        """Bilinear height at world ``xy`` ([2] → scalar)."""
+        h00, h10, h01, h11, fx, fy = self._cell(xy)
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+    def grad(self, xy: jax.Array) -> jax.Array:
+        """Exact gradient of the bilinear interpolant at ``xy``."""
+        h00, h10, h01, h11, fx, fy = self._cell(xy)
+        gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / self.dx
+        gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / self.dy
+        return jnp.stack([gx, gy])
+
+    def normal(self, xy: jax.Array) -> jax.Array:
+        """Upward unit surface normal at ``xy`` ([3])."""
+        g = self.grad(xy)
+        n = jnp.concatenate([-g, jnp.ones(1)])
+        return n / jnp.sqrt(jnp.sum(n**2))
+
+    @staticmethod
+    def sample(terrain, extent: float, n: int = 256) -> "HeightGrid":
+        """Sample any ``height(xy)``-surface (e.g. an analytic
+        :class:`Terrain`) onto an ``n × n`` grid spanning
+        ``[-extent, extent]²`` — mostly for tests and for exporting
+        analytic terrain as data."""
+        xs = np.linspace(-extent, extent, n)
+        grid = np.asarray(
+            jax.vmap(
+                lambda x: jax.vmap(
+                    lambda y: terrain.height(jnp.stack([x, y]))
+                )(jnp.asarray(xs, jnp.float32))
+            )(jnp.asarray(xs, jnp.float32))
+        )
+        step = float(xs[1] - xs[0])
+        return HeightGrid(
+            data=grid, x0=float(xs[0]), y0=float(xs[0]), dx=step, dy=step
+        )
+
+
 def flat() -> Terrain:
     """The trivial terrain h ≡ 0 (for exactness tests vs the plane
     ground path — the engine's ``terrain=None`` fast path)."""
