@@ -470,6 +470,31 @@ def limit_torques(
     return tau * jnp.asarray(limited)
 
 
+def spring_torques(
+    model: Model, qpos: jax.Array
+) -> Optional[jax.Array]:
+    """Passive joint-spring torques ``−k·(q − ref)`` [nv] on 1-dof
+    joints (MuJoCo ``jnt_stiffness``/``springref``; explicit — MuJoCo's
+    Euler integrator also treats springs explicitly), or ``None`` when
+    no dof has a spring — springless models pay zero ops. Same static
+    qpos gather as :func:`limit_torques`."""
+    k = model.spring_stiffness
+    if k.size == 0 or not (k > 0).any():
+        return None
+    qpos_idx = np.zeros(model.nv, np.int32)
+    one_dof = np.zeros(model.nv, np.float32)
+    qslices, vslices = model.qpos_slices(), model.dof_slices()
+    for i, jtype in enumerate(model.joint_type):
+        (qs, _), (vs, _) = qslices[i], vslices[i]
+        if jtype in (HINGE, SLIDE):
+            qpos_idx[vs] = qs
+            one_dof[vs] = 1.0
+    q = qpos[jnp.asarray(qpos_idx)]
+    return -jnp.asarray(k * one_dof, jnp.float32) * (
+        q - jnp.asarray(model.spring_ref, jnp.float32)
+    )
+
+
 def mass_matrix_factor(
     model: Model, qpos: jax.Array, *, dt: float, params=None
 ) -> jax.Array:
@@ -545,6 +570,9 @@ def forward_dynamics(
     tau_l = limit_torques(model, qpos, qvel)
     if tau_l is not None:
         rhs = rhs + tau_l
+    tau_s = spring_torques(model, qpos)
+    if tau_s is not None:
+        rhs = rhs + tau_s
     if external_forces:
         # World-frame point forces [(body, point_world, f_world)] from
         # outside this tree (the scene layer's cross-tree contacts).

@@ -720,6 +720,9 @@ def forward_dynamics_dw(
     tau_l = _engine.limit_torques(model, qpos, qvel)
     if tau_l is not None:
         rhs = rhs + tau_l
+    tau_s = _engine.spring_torques(model, qpos)
+    if tau_s is not None:
+        rhs = rhs + tau_s
 
     if plan.geom_groups:
         all_normals = jnp.concatenate(normals)[

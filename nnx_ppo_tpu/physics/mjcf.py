@@ -8,12 +8,16 @@ package does all parsing/compilation — units, defaults, includes) into
 the engine's :class:`~nnx_ppo_tpu.physics.model.Model`, so those robots
 run on the in-repo TPU-native substrate.
 
-Supported subset (one joint per body — the common robot topology):
+Supported subset:
 
 * free (base), hinge, slide, and ball joints; per-dof damping,
-  armature, and hinge/slide ranges (imported as the engine's penalty
-  stops — MuJoCo treats ranges as solver constraints, so limit
-  *dynamics* differ while the admissible range matches);
+  armature, passive joint springs (``jnt_stiffness``/``springref``),
+  and hinge/slide ranges (imported as the engine's penalty stops —
+  MuJoCo treats ranges as solver constraints, so limit *dynamics*
+  differ while the admissible range matches);
+* bodies with MULTIPLE stacked joints (planar roots like
+  slide-slide-hinge) decompose into chained massless links — MuJoCo
+  composes stacked joints in declaration order, first joint outermost;
 * welded bodies (zero joints) merge into their nearest jointed
   ancestor exactly: masses, COMs, and inertias combine via the
   parallel-axis theorem; geoms and children re-attach through the weld;
@@ -32,8 +36,14 @@ Supported subset (one joint per body — the common robot topology):
 NOT translated: MuJoCo's constraint-based contact model (solref /
 solimp) — the engine uses penalty/compliant contacts, so pass
 ``contact_stiffness``/``contact_damping``/``friction`` explicitly;
-actuators, tendons, sensors (the envs own actuation); non-sphere
-collision geometry.
+the fluid model (density/viscosity/wind — import fails loudly);
+tendons and sensors; actuators beyond the metadata in
+:class:`ActuatorSpec` (the envs own actuation); non-sphere collision
+geometry beyond the capsule two-sphere approximation.
+
+The published gymnasium MuJoCo robots — ant, half_cheetah, hopper,
+walker2d, humanoid(standup), point, inverted_pendulum — all import and
+match ``mj_forward`` at random states (``tests/test_mjcf.py``).
 
 Exactness: the *smooth* dynamics (mass matrix, bias forces, gravity,
 damping, armature) of imported models match MuJoCo's own
@@ -326,6 +336,16 @@ def _translate(
 
     if abs(m.opt.gravity[0]) > 1e-12 or abs(m.opt.gravity[1]) > 1e-12:
         raise ValueError("engine gravity must be along z")
+    if (
+        m.opt.density != 0.0
+        or m.opt.viscosity != 0.0
+        or np.any(np.asarray(m.opt.wind) != 0.0)
+    ):
+        raise ValueError(
+            "MJCF uses MuJoCo's fluid model (density/viscosity/wind), "
+            "which the engine does not implement — the imported "
+            "dynamics would silently lack the drag forces"
+        )
     gravity = float(m.opt.gravity[2])
 
     def body_name(b: int) -> str:
@@ -353,14 +373,11 @@ def _translate(
     joint_axes: list[np.ndarray] = []
     joint_positions: list[np.ndarray] = []
     joint_ids: list[int] = []
+    our_W_R: list[np.ndarray] = []  # per our body: its own frame unroll
+    synthetic: list[bool] = []  # True = massless multi-joint link
 
     for b in range(1, nb):
         p = m.body_parentid[b]
-        if m.body_jntnum[b] > 1:
-            raise ValueError(
-                f"body {body_name(b)!r} has {int(m.body_jntnum[b])} "
-                "joints; the engine supports one joint per body"
-            )
         R_pb = _quat_to_mat(m.body_quat[b])
         # b's mj frame expressed in the parent's HOST our frame (or the
         # world frame while no jointed ancestor exists yet).
@@ -372,67 +389,91 @@ def _translate(
             W_R[b], W_t[b] = R_in_host, t_in_host
             continue
 
-        j = int(m.body_jntadr[b])
-        jtype = _JOINT_TYPE[int(m.jnt_type[j])]
-        oi = len(our_mj_body)
-        our_mj_body.append(b)
-        host[b] = oi
-        if jtype == FREE:
-            if host[p] != _WORLD:
-                raise ValueError("free joint must be on a base body")
-            # The free pose is STATE: the world-weld offset and
-            # body_quat live in qpos0 (mujoco composes them there), so
-            # the our frame coincides with the mj body frame.
-            W_R[b], W_t[b] = np.eye(3), np.zeros(3)
-            parent_our.append(_WORLD)
-            joint_axes.append(np.zeros(3))
-            joint_positions.append(np.zeros(3))
-        else:
-            anchor = m.jnt_pos[j].copy()
-            ref = float(m.qpos0[int(m.jnt_qposadr[j])]) if jtype in (
-                HINGE,
-                SLIDE,
-            ) else 0.0
-            parent_our.append(host[p])
-            # Our origin = joint anchor; our axes = parent-host axes.
-            # Content coords: x_our = W_R @ (x_mj − anchor).
-            jpos = t_in_host + R_in_host @ anchor
-            if jtype == HINGE and ref != 0.0:
-                # MuJoCo rotates by (q − ref); the engine rotates by q.
-                # rot(axis, q − ref) = rot(axis, −ref) · rot(axis, q),
-                # so the constant rot(axis, −ref) folds into the frame
-                # unroll like any body_quat (it fixes the axis and the
-                # anchor, so jpos and the axis direction are unchanged).
-                a = m.jnt_axis[j] / np.linalg.norm(m.jnt_axis[j])
-                K = np.array(
-                    [
-                        [0.0, -a[2], a[1]],
-                        [a[2], 0.0, -a[0]],
-                        [-a[1], a[0], 0.0],
-                    ]
-                )
-                R_ref = (
-                    np.eye(3)
-                    - np.sin(ref) * K
-                    + (1.0 - np.cos(ref)) * (K @ K)
-                )  # rot(axis, −ref)
-                W_R[b] = R_in_host @ R_ref
+        # A body with k joints decomposes into k chained engine bodies:
+        # MuJoCo composes stacked joints in DECLARATION order (first
+        # joint outermost — empirically pinned in tests/test_mjcf.py),
+        # so joints 0..k−2 ride on massless synthetic links and the
+        # last carries the body's content. All axes/anchors are in the
+        # (single) mj body frame, which every synthetic link shares at
+        # q = 0, so the same per-joint recurrence applies with
+        # identity body offsets after the first.
+        k = int(m.body_jntnum[b])
+        parent_host = host[p]
+        R_cur, t_cur = R_in_host, t_in_host
+        for t in range(k):
+            j = int(m.body_jntadr[b]) + t
+            jtype = _JOINT_TYPE[int(m.jnt_type[j])]
+            oi = len(our_mj_body)
+            our_mj_body.append(b)
+            synthetic.append(t < k - 1)
+            if jtype == FREE:
+                if k > 1:
+                    raise ValueError(
+                        "free joint cannot share a body with other joints"
+                    )
+                if parent_host != _WORLD:
+                    raise ValueError("free joint must be on a base body")
+                # The free pose is STATE: the world-weld offset and
+                # body_quat live in qpos0 (mujoco composes them there),
+                # so the our frame coincides with the mj body frame.
+                A = np.eye(3)
+                W_t_b = np.zeros(3)
+                parent_our.append(_WORLD)
+                joint_axes.append(np.zeros(3))
+                joint_positions.append(np.zeros(3))
             else:
-                W_R[b] = R_in_host
-            if jtype == SLIDE and ref != 0.0:
-                # MuJoCo translates by (q − ref): shift the anchor back
-                # by ref along the (parent-frame) axis.
-                jpos = jpos - ref * (R_in_host @ m.jnt_axis[j])
-            joint_positions.append(jpos)
-            W_t[b] = -W_R[b] @ anchor
-            joint_axes.append(W_R[b] @ m.jnt_axis[j])
-        tree_of.append(
-            tree_of[parent_our[-1]]
-            if parent_our[-1] != _WORLD
-            else (max(tree_of) + 1 if tree_of else 0)
-        )
-        joint_types.append(jtype)
-        joint_ids.append(j)
+                anchor = m.jnt_pos[j].copy()
+                ref = (
+                    float(m.qpos0[int(m.jnt_qposadr[j])])
+                    if jtype in (HINGE, SLIDE)
+                    else 0.0
+                )
+                parent_our.append(parent_host)
+                # Our origin = joint anchor; our axes = parent-host
+                # axes. Content coords: x_our = A @ (x_mj − anchor).
+                jpos = t_cur + R_cur @ anchor
+                if jtype == HINGE and ref != 0.0:
+                    # MuJoCo rotates by (q − ref); the engine by q.
+                    # rot(axis, q − ref) = rot(axis, −ref)·rot(axis, q):
+                    # the constant rot(axis, −ref) folds into the frame
+                    # unroll like any body_quat (it fixes the axis and
+                    # the anchor, so jpos and the axis are unchanged).
+                    a = m.jnt_axis[j] / np.linalg.norm(m.jnt_axis[j])
+                    K = np.array(
+                        [
+                            [0.0, -a[2], a[1]],
+                            [a[2], 0.0, -a[0]],
+                            [-a[1], a[0], 0.0],
+                        ]
+                    )
+                    A = R_cur @ (
+                        np.eye(3)
+                        - np.sin(ref) * K
+                        + (1.0 - np.cos(ref)) * (K @ K)
+                    )  # R_cur · rot(axis, −ref)
+                else:
+                    A = R_cur
+                if jtype == SLIDE and ref != 0.0:
+                    # MuJoCo translates by (q − ref): shift the anchor
+                    # back by ref along the (parent-frame) axis.
+                    jpos = jpos - ref * (R_cur @ m.jnt_axis[j])
+                joint_positions.append(jpos)
+                W_t_b = -A @ anchor
+                joint_axes.append(A @ m.jnt_axis[j])
+            tree_of.append(
+                tree_of[parent_our[-1]]
+                if parent_our[-1] != _WORLD
+                else (max(tree_of) + 1 if tree_of else 0)
+            )
+            joint_types.append(jtype)
+            joint_ids.append(j)
+            our_W_R.append(A)
+            # Chain: the next stacked joint hangs off this our body,
+            # with the mj body frame re-expressed in ITS coordinates.
+            parent_host = oi
+            R_cur, t_cur = A, W_t_b
+        host[b] = parent_host  # content lands on the last link
+        W_R[b], W_t[b] = R_cur, t_cur
 
     n_our = len(our_mj_body)
     if n_our == 0:
@@ -609,6 +650,8 @@ def _translate(
         armature: list[float] = []
         lower: list[float] = []
         upper: list[float] = []
+        spring_k: list[float] = []
+        spring_ref: list[float] = []
         qpos0: list[float] = []
         for oi in bodies:
             j = joint_ids[oi]
@@ -631,10 +674,21 @@ def _translate(
             else:
                 lower.extend([-np.inf] * nvj)
                 upper.extend([np.inf] * nvj)
+            if jtype in (HINGE, SLIDE):
+                spring_k.append(float(m.jnt_stiffness[j]))
+                spring_ref.append(float(m.qpos_spring[q0]))
+            else:
+                if float(m.jnt_stiffness[j]) != 0.0:
+                    raise ValueError(
+                        f"joint stiffness on a {jtype} joint is not "
+                        "supported (1-dof joint springs only)"
+                    )
+                spring_k.extend([0.0] * nvj)
+                spring_ref.extend([0.0] * nvj)
             seg = np.asarray(m.qpos0[q0 : q0 + nqj], np.float64)
             if jtype == BALL:
                 # Conjugate the state quaternion into our-frame axes.
-                qA = _mat_to_quat(W_R[our_mj_body[oi]])
+                qA = _mat_to_quat(our_W_R[oi])
                 qAinv = qA * np.array([1.0, -1.0, -1.0, -1.0])
                 seg = _quat_mul(_quat_mul(qA, seg), qAinv)
             qpos0.extend(seg.tolist())
@@ -673,6 +727,8 @@ def _translate(
             armature=np.asarray(armature),
             joint_lower=np.asarray(lower),
             joint_upper=np.asarray(upper),
+            spring_stiffness=np.asarray(spring_k),
+            spring_ref=np.asarray(spring_ref),
             pair_geom_a=tuple(pa for pa, _ in t_pairs),
             pair_geom_b=tuple(pb for _, pb in t_pairs),
             gravity=gravity,
@@ -689,7 +745,7 @@ def _translate(
         for oi in bodies:
             dof_start[joint_ids[oi]] = cursor
             if joint_types[oi] == BALL:
-                R = W_R[our_mj_body[oi]]
+                R = our_W_R[oi]
                 if not np.allclose(R, np.eye(3), atol=1e-12):
                     ball_rots.append((cursor, R.copy()))
             cursor += _NV[joint_types[oi]]
@@ -744,7 +800,17 @@ def _translate(
                 model=model,
                 qpos0=np.asarray(qpos0, np.float32),
                 body_names=tuple(
-                    body_name(our_mj_body[oi]) for oi in bodies
+                    # Synthetic multi-joint links carry the joint
+                    # name (the body name goes to the content link).
+                    (
+                        mujoco.mj_id2name(
+                            m, mujoco.mjtObj.mjOBJ_JOINT, joint_ids[oi]
+                        )
+                        or f"joint{joint_ids[oi]}"
+                    )
+                    if synthetic[oi]
+                    else body_name(our_mj_body[oi])
+                    for oi in bodies
                 ),
                 geom_names=tuple(geom_names[s] for s in t_geoms),
                 skipped_geoms=tuple(skipped),

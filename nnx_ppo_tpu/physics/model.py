@@ -72,6 +72,14 @@ class Model:
     # (dt·√(k/I) < 1 for every limited dof).
     limit_stiffness: float = 3_000.0
     limit_damping: float = 30.0
+    # Per-dof passive joint springs: τ = −k·(q − ref) on 1-dof joints
+    # (k = 0 → no spring, zero cost; MuJoCo jnt_stiffness/springref).
+    spring_stiffness: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )  # [nv]
+    spring_ref: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )  # [nv]
     # Sphere-sphere collision pairs (geom indices; explicit static list
     # — self-collision within the tree, see engine.py).
     pair_geom_a: tuple[int, ...] = ()

@@ -476,15 +476,153 @@ class TestLeggedFromMjcf:
         assert env.kp == 40.0 and float(env.action_scale) == 0.5
 
 
-class TestErrors:
-    def test_two_joints_on_one_body_rejected(self):
+_GYM_ASSETS = (
+    "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
+)
+
+
+class TestRealModels:
+    """The published gymnasium MuJoCo robots — ant (free base + welds +
+    capsules), half_cheetah (planar root, joint springs), hopper /
+    walker2d (planar roots via stacked slide-slide-hinge), humanoid
+    (23 dof, free base + stacked joints + springs), point,
+    inverted_pendulum — all import and their smooth dynamics match the
+    MuJoCo C engine at random states."""
+
+    @pytest.mark.parametrize(
+        "name,tol",
+        [
+            ("ant", 1e-4),
+            ("half_cheetah", 1e-4),
+            ("hopper", 1e-4),
+            ("walker2d", 1e-3),
+            ("humanoid", 1e-2),
+            ("point", 1e-4),
+            ("inverted_pendulum", 1e-4),
+        ],
+    )
+    def test_smooth_dynamics_match(self, name, tol):
+        import dataclasses
+        import os
+
+        path = f"{_GYM_ASSETS}/{name}.xml"
+        if not os.path.exists(path):
+            pytest.skip("gymnasium assets not available")
+        imp = from_mjcf(path)
+        # Strip contacts and limits for the SMOOTH comparison: the
+        # engine's penalty limits/contacts intentionally differ from
+        # MuJoCo's constraint solver (we disable both sides).
+        model = dataclasses.replace(
+            imp.model,
+            joint_lower=np.full(imp.model.nv, -np.inf),
+            joint_upper=np.full(imp.model.nv, np.inf),
+            geom_body=(),
+            geom_offset=np.zeros((0, 3)),
+            geom_radius=np.zeros(0),
+            pair_geom_a=(),
+            pair_geom_b=(),
+        )
+        m = mujoco.MjModel.from_xml_path(path)
+        m.opt.disableflags |= (
+            mujoco.mjtDisableBit.mjDSBL_CONTACT
+            | mujoco.mjtDisableBit.mjDSBL_LIMIT
+        )
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            qpos = np.array(m.qpos0)
+            for j in range(m.njnt):
+                if int(m.jnt_type[j]) in (2, 3):
+                    qpos[int(m.jnt_qposadr[j])] += 0.3 * rng.randn()
+            qvel_mj = 0.5 * rng.randn(m.nv)
+            d = mujoco.MjData(m)
+            d.qpos[:] = qpos
+            d.qvel[:] = qvel_mj
+            mujoco.mj_forward(m, d)
+            qacc, _ = forward_dynamics(
+                model,
+                jnp.asarray(qpos, jnp.float32),
+                jnp.asarray(imp.qvel_from_mujoco(qpos, qvel_mj),
+                            jnp.float32),
+                jnp.zeros(m.nv),
+            )
+            expect = imp.qacc_from_mujoco(qpos, qvel_mj, d.qacc)
+            rel = np.max(
+                np.abs(np.asarray(qacc) - expect) / (1.0 + np.abs(expect))
+            )
+            assert rel < tol, f"{name}: rel err {rel:.2e}"
+
+    def test_swimmer_fluid_rejected(self):
+        import os
+
+        path = f"{_GYM_ASSETS}/swimmer.xml"
+        if not os.path.exists(path):
+            pytest.skip("gymnasium assets not available")
+        with pytest.raises(ValueError, match="fluid"):
+            from_mjcf(path)
+
+
+class TestJointSprings:
+    def test_static_spring_deflection(self):
+        """A hinge with a spring and gravity settles where
+        k·(q − ref) = m·g·l·sin(q): check the imported passive torque
+        via the analytic static balance residual at mujoco's own
+        equilibrium."""
         xml = """
-        <mujoco><worldbody><body pos="0 0 1">
-          <joint type="hinge" axis="1 0 0"/><joint type="hinge" axis="0 1 0"/>
-          <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+        <mujoco><option gravity="0 0 -9.81"/><compiler angle="radian"/>
+        <worldbody><body pos="0 0 1">
+          <joint name="h" type="hinge" axis="0 1 0" stiffness="30"
+                 springref="0.5" damping="2.0"/>
+          <inertial pos="0 0 -0.3" mass="1.0" diaginertia="0.01 0.01 0.002"/>
         </body></worldbody></mujoco>"""
-        with pytest.raises(ValueError, match="one joint per body"):
-            from_mjcf(xml)
+        imp = from_mjcf(xml)
+        np.testing.assert_allclose(imp.model.spring_stiffness, [30.0])
+        np.testing.assert_allclose(imp.model.spring_ref, [0.5])
+        m = mujoco.MjModel.from_xml_string(xml)
+        m.opt.timestep = 0.002
+        d = mujoco.MjData(m)
+        for _ in range(4000):  # settle to the spring-gravity balance
+            mujoco.mj_step(m, d)
+        q_eq = float(d.qpos[0])
+        qacc, _ = forward_dynamics(
+            imp.model,
+            jnp.asarray([q_eq], jnp.float32),
+            jnp.zeros(1),
+            jnp.zeros(1),
+        )
+        assert abs(float(qacc[0])) < 1e-3  # same equilibrium
+
+
+class TestErrors:
+    def test_multi_joint_body_decomposes(self):
+        """A body with stacked joints (MuJoCo composes them in
+        declaration order, first joint outermost) splits into massless
+        chained links; dynamics match mj_forward."""
+        xml = """
+        <mujoco><compiler angle="radian"/><worldbody><body pos="0 0 1">
+          <joint name="sx" type="slide" axis="1 0 0" damping="0.3"/>
+          <joint name="hy" type="hinge" axis="0 1 0" pos="0.1 0 0.2"
+                 damping="0.2"/>
+          <inertial pos="0.3 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+        </body></worldbody></mujoco>"""
+        imp = from_mjcf(xml)
+        assert imp.model.n_bodies == 2  # synthetic link + content link
+        assert imp.model.mass[0] == 0.0 and imp.model.mass[1] == 1.0
+        assert imp.body_names == ("sx", "body1")
+        rng = np.random.RandomState(11)
+        for _ in range(3):
+            qpos = rng.uniform(-0.8, 0.8, 2)
+            qvel = rng.uniform(-1.0, 1.0, 2)
+            tau = rng.uniform(-2.0, 2.0, 2)
+            _, d, _ = _mj_state(xml, qpos, qvel, tau)
+            qacc, _ = forward_dynamics(
+                imp.model,
+                jnp.asarray(qpos, jnp.float32),
+                jnp.asarray(qvel, jnp.float32),
+                jnp.asarray(tau, jnp.float32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(qacc), d.qacc, rtol=2e-4, atol=2e-3
+            )
 
     def test_two_trees_rejected_by_single_import(self):
         xml = """
