@@ -155,10 +155,11 @@ def _legged_physics(
         import os
         import sys
 
-        sys.path.insert(
-            0,
-            os.path.join(os.path.dirname(__file__), "..", "examples"),
+        examples_dir = os.path.join(
+            os.path.dirname(__file__), "..", "examples"
         )
+        if examples_dir not in sys.path:
+            sys.path.insert(0, examples_dir)
         from mjcf_import import make_env
 
         def env_cls(**kw):
@@ -171,9 +172,6 @@ def _legged_physics(
                     "mjcf_quadruped variants are defined by the XML"
                 )
             return make_env(**kw)
-
-        env_cls.observation_size = {"proprio": 42, "command": 3}
-        env_cls.action_size = 12
     else:
         env_cls = {"quadruped": QuadrupedJoystick,
                    "humanoid": HumanoidJoystick}[env_name]
@@ -202,8 +200,10 @@ def _legged_physics(
         ),
         max_len=500,
     )
-    proprio = env_cls.observation_size["proprio"]
-    n_act = env_cls.action_size
+    # Sizes from the constructed env (EpisodeWrapper delegates), so
+    # MJCF-imported configs need no hardcoded duplicates.
+    proprio = env.observation_size["proprio"]
+    n_act = env.action_size
     k = jax.random.split(jax.random.key(0), 7)
     enc = Concat.create(
         proprio=Dense.create(proprio, 128, k[0], jax.nn.relu),

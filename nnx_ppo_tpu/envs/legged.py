@@ -118,8 +118,16 @@ def legged_from_mjcf(
             damping[a.dof] += a.kv
         model = dataclasses.replace(model, damping=damping)
     if action_scale is None:
-        ranged = [a for a in imp.actuators if a.ctrlrange is not None]
-        if len(ranged) == len(default_pose) and ranged:
+        # Only POSITION actuators' ctrlranges are joint-target ranges
+        # (a motor/velocity ctrlrange is a torque/speed limit — reading
+        # it as a position half-width would saturate every joint).
+        ranged = [
+            a
+            for a in position_acts
+            if a.ctrlrange is not None and a.dof >= 6
+        ]
+        covered = {a.dof for a in ranged}
+        if ranged and covered == set(range(6, 6 + len(default_pose))):
             scale = np.zeros(len(default_pose))
             for a in ranged:
                 scale[a.dof - 6] = 0.5 * (a.ctrlrange[1] - a.ctrlrange[0])

@@ -63,6 +63,9 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
         np.isfinite(model.joint_lower).any()
         or np.isfinite(model.joint_upper).any()
     ), "SoA substep does not implement joint-range limits"
+    assert model.spring_stiffness.size == 0 or not (
+        model.spring_stiffness > 0
+    ).any(), "SoA substep does not implement joint springs"
     NB = model.n_bodies
     nj = model.nj
     nv = model.nv

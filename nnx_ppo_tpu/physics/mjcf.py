@@ -166,8 +166,13 @@ class MjcfImport:
     skipped_geoms: tuple  # MJCF geom names not imported as contacts
     has_ground: bool  # MJCF declared a world ground (plane or hfield)
     actuators: tuple = ()  # joint ActuatorSpecs (env-consumed metadata)
-    # World hfield geom translated to a bilinear HeightGrid terrain
-    # (pass to the envs / engine `terrain=`); None = flat z = 0 ground.
+    # World hfield geom translated to a bilinear HeightGrid terrain;
+    # None = flat z = 0 ground. IMPORTANT: when set, the caller must
+    # pass it to the engine/env (`terrain=imp.terrain` —
+    # `legged_from_mjcf` does this automatically): the engine's default
+    # ground is the flat z = 0 plane, so running the model without the
+    # terrain would collide contacts against ground the MJCF never
+    # declared.
     terrain: Optional[object] = None
     # Ball joints whose body carried a fixed rotation (body_quat /
     # inherited frame / hinge-ref fold): (engine dof index, W_R) pairs;
@@ -542,6 +547,11 @@ def _translate(
             hid = int(m.geom_dataid[g])
             nrow = int(m.hfield_nrow[hid])
             ncol = int(m.hfield_ncol[hid])
+            if nrow < 2 or ncol < 2:
+                raise ValueError(
+                    f"hfield {geom_label(g)!r} is {nrow}x{ncol}; the "
+                    "HeightGrid terrain needs at least 2x2 samples"
+                )
             rx, ry, z_top, _ = (float(v) for v in m.hfield_size[hid])
             adr = int(m.hfield_adr[hid])
             rows = np.asarray(

@@ -142,11 +142,19 @@ class HeightGrid:
         )
 
     def grad(self, xy: jax.Array) -> jax.Array:
-        """Exact gradient of the bilinear interpolant at ``xy``."""
+        """Exact gradient of the bilinear interpolant at ``xy`` — zero
+        on the flat extension beyond the grid, matching ``height``'s
+        clamping (otherwise contacts out there would feel the edge
+        cell's slope as a phantom lateral push)."""
+        d = np.asarray(self.data).shape
         h00, h10, h01, h11, fx, fy = self._cell(xy)
+        u = (xy[0] - self.x0) / self.dx
+        v = (xy[1] - self.y0) / self.dy
+        in_x = ((u >= 0.0) & (u <= d[0] - 1)).astype(jnp.float32)
+        in_y = ((v >= 0.0) & (v <= d[1] - 1)).astype(jnp.float32)
         gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / self.dx
         gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / self.dy
-        return jnp.stack([gx, gy])
+        return jnp.stack([gx * in_x, gy * in_y])
 
     def normal(self, xy: jax.Array) -> jax.Array:
         """Upward unit surface normal at ``xy`` ([3])."""

@@ -28,6 +28,27 @@ class TestBilinear:
         g = np.asarray(grid.grad(jnp.array([0.5, 0.5])))
         np.testing.assert_allclose(g, [2.0, 1.0])
 
+    def test_gradient_zero_on_flat_extension(self):
+        """Outside the grid, height() clamps flat — grad/normal must
+        agree (regression: the edge cell's slope used to leak out and
+        tilt contact normals on the extension)."""
+        plane = inclined(slope_x=0.3, slope_y=0.1)
+        grid = HeightGrid.sample(plane, extent=1.0, n=5)
+        inside = jnp.array([0.5, -0.5])
+        past_x = jnp.array([5.0, 0.0])  # clamped in x, inside in y
+        corner = jnp.array([5.0, -7.0])  # fully outside
+        assert float(jnp.abs(grid.grad(inside)).max()) > 0.05
+        # The clamped surface is flat in x but still slopes in y.
+        np.testing.assert_allclose(
+            np.asarray(grid.grad(past_x)), [0.0, 0.1], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(grid.grad(corner)), [0.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(grid.normal(corner)), [0.0, 0.0, 1.0]
+        )
+
     def test_flat_extension_outside(self):
         grid = HeightGrid(
             data=np.array([[1.0, 1.0], [1.0, 1.0]]),

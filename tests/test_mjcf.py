@@ -466,6 +466,21 @@ class TestLeggedFromMjcf:
         assert float(state.done) == 0.0
         assert 0.3 < float(state.data["qpos"][2]) < 0.45
 
+    def test_motor_ctrlranges_are_not_action_scales(self):
+        """Motor torque ctrlranges (e.g. ±23.7 N·m on a Go1) must NOT
+        be misread as position-target half-widths."""
+        from nnx_ppo_tpu.envs import legged_from_mjcf
+
+        xml = self.XML.replace(
+            '<position joint="Lh" kp="50" kv="2" ctrlrange="-0.6 0.6"/>',
+            '<motor joint="Lh" gear="1" ctrlrange="-23.7 23.7"/>',
+        ).replace(
+            '<position joint="Rh" kp="50" kv="2" ctrlrange="-0.6 0.6"/>',
+            '<motor joint="Rh" gear="1" ctrlrange="-23.7 23.7"/>',
+        )
+        env = legged_from_mjcf(xml, kp=40.0, n_feet=2)
+        assert float(env.action_scale) == 0.5  # scalar fallback
+
     def test_requires_position_actuators_or_kp(self):
         from nnx_ppo_tpu.envs import legged_from_mjcf
 
