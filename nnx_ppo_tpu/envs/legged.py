@@ -44,6 +44,7 @@ def legged_from_mjcf(
     stand_height: float | None = None,
     contact_stiffness: float = 6_000.0,
     contact_damping: float = 120.0,
+    model_overrides: dict | None = None,
     **env_kwargs,
 ):
     """Build a :class:`LeggedJoystick` env directly from a MuJoCo MJCF
@@ -83,6 +84,10 @@ def legged_from_mjcf(
         xml,
         contact_stiffness=contact_stiffness,
         contact_damping=contact_damping,
+        # Extra Model constructor fields (friction_vel,
+        # max_contact_force, limit_stiffness, ...) — light robots
+        # usually need softer contact settings than the defaults.
+        **(model_overrides or {}),
     )
     model = imp.model
     if not model.free_base:

@@ -566,6 +566,48 @@ class TestRealModels:
             )
             assert rel < tol, f"{name}: rel err {rel:.2e}"
 
+    def test_imported_ant_stands(self):
+        """End-to-end on a real third-party robot: gymnasium's ant,
+        imported and wrapped by legged_from_mjcf (range-center default
+        pose, contact settings scaled to its ~0.9 kg mass), stands
+        under PD without falling or launching."""
+        import os
+
+        from nnx_ppo_tpu.envs import legged_from_mjcf
+
+        path = f"{_GYM_ASSETS}/ant.xml"
+        if not os.path.exists(path):
+            pytest.skip("gymnasium assets not available")
+        imp = from_mjcf(path)
+        lo = imp.model.joint_lower[6:]
+        hi = imp.model.joint_upper[6:]
+        pose = np.where(np.isfinite(lo), 0.5 * (lo + hi), 0.0)
+        env = legged_from_mjcf(
+            path,
+            kp=20.0,
+            n_feet=4,
+            reuse_mass_matrix=True,
+            default_pose=pose,
+            stand_height=0.55,
+            reset_joint_noise=0.02,
+            min_height=0.2,
+            contact_stiffness=800.0,
+            contact_damping=30.0,
+            model_overrides=dict(
+                max_contact_force=100.0,
+                friction_vel=0.3,
+                limit_stiffness=300.0,
+                limit_damping=5.0,
+            ),
+        )
+        assert env._plan is not None  # depthwise auto-selected
+        state = env.reset(jax.random.key(0))
+        step = jax.jit(env.step)
+        for _ in range(100):  # 2 s
+            state = step(state, jnp.zeros(env.action_size))
+        assert float(state.done) == 0.0
+        assert 0.3 < float(state.data["qpos"][2]) < 0.7
+
     def test_swimmer_fluid_rejected(self):
         import os
 
