@@ -24,6 +24,13 @@ import time
 
 import jax
 
+# Honor an explicit JAX_PLATFORMS env var: this image's site hook
+# forces the tunneled-TPU platform programmatically at import, and a
+# wedged tunnel HANGS backend init instead of falling back — an
+# explicit env choice must win (same pattern as __graft_entry__).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # Persistent compilation cache: reruns of the same configs skip the
 # 10-60s XLA compile (cache keys include program + flags + platform).
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
