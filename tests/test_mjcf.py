@@ -566,6 +566,85 @@ class TestRealModels:
             )
             assert rel < tol, f"{name}: rel err {rel:.2e}"
 
+    _DM_SUITE = (
+        "/opt/venv/lib/python3.12/site-packages/dm_control/suite"
+    )
+
+    @pytest.mark.parametrize(
+        "name,tol",
+        [
+            ("cartpole", 1e-4),
+            ("pendulum", 1e-4),
+            ("acrobot", 1e-4),
+            ("cheetah", 1e-4),
+            ("walker", 1e-3),
+            ("hopper", 1e-3),
+            ("reacher", 1e-4),
+            ("humanoid", 1e-2),  # 27 dof
+        ],
+    )
+    def test_dm_control_suite_matches(self, name, tol):
+        """Second independent model zoo: the dm_control suite robots
+        compile (their own defaults/includes), import, and match
+        mj_forward — same protocol as the gymnasium sweep."""
+        import dataclasses
+        import os
+
+        path = f"{self._DM_SUITE}/{name}.xml"
+        if not os.path.exists(path):
+            pytest.skip("dm_control assets not available")
+        m = mujoco.MjModel.from_xml_path(path)
+        imp = from_mjcf(m)
+        model = dataclasses.replace(
+            imp.model,
+            joint_lower=np.full(imp.model.nv, -np.inf),
+            joint_upper=np.full(imp.model.nv, np.inf),
+            geom_body=(),
+            geom_offset=np.zeros((0, 3)),
+            geom_radius=np.zeros(0),
+            pair_geom_a=(),
+            pair_geom_b=(),
+        )
+        m.opt.disableflags |= (
+            mujoco.mjtDisableBit.mjDSBL_CONTACT
+            | mujoco.mjtDisableBit.mjDSBL_LIMIT
+        )
+        rng = np.random.RandomState(0)
+        for _ in range(2):
+            qpos = np.array(m.qpos0)
+            for j in range(m.njnt):
+                if int(m.jnt_type[j]) in (2, 3):
+                    qpos[int(m.jnt_qposadr[j])] += 0.3 * rng.randn()
+            qvel_mj = 0.5 * rng.randn(m.nv)
+            d = mujoco.MjData(m)
+            d.qpos[:] = qpos
+            d.qvel[:] = qvel_mj
+            mujoco.mj_forward(m, d)
+            qacc, _ = forward_dynamics(
+                model,
+                jnp.asarray(qpos, jnp.float32),
+                jnp.asarray(
+                    imp.qvel_from_mujoco(qpos, qvel_mj), jnp.float32
+                ),
+                jnp.zeros(m.nv),
+            )
+            expect = imp.qacc_from_mujoco(qpos, qvel_mj, d.qacc)
+            rel = np.max(
+                np.abs(np.asarray(qacc) - expect) / (1.0 + np.abs(expect))
+            )
+            assert rel < tol, f"{name}: rel err {rel:.2e}"
+
+    def test_dm_control_multi_tree_scene(self):
+        """dm_control's finger (manipulator + free spinner) is a
+        two-tree world: the scene importer splits it."""
+        import os
+
+        path = f"{self._DM_SUITE}/finger.xml"
+        if not os.path.exists(path):
+            pytest.skip("dm_control assets not available")
+        imp = from_mjcf_scene(mujoco.MjModel.from_xml_path(path))
+        assert len(imp.scene.models) == 2
+
     def test_imported_ant_stands(self):
         """End-to-end on a real third-party robot: gymnasium's ant,
         imported and wrapped by legged_from_mjcf (range-center default
