@@ -9,39 +9,142 @@ n_envs * rollout_length / wall-clock per fused train step, with
 
 Prints ONE JSON line:
     {"metric": "train_sps", "value": N, "unit": "env_steps/s",
-     "vs_baseline": N / 1e7}
+     "vs_baseline": N / 1e7, "platform": "...", "n_devices": N}
 vs_baseline is the fraction of the BASELINE.json north star (10M
 aggregate env-steps/s on a v5p-16 slice); this run uses however many
 chips are visible (1 under the driver).
+
+Wedge-proofing: this image's site hook forces the tunneled-TPU
+("axon") platform programmatically at `import jax`, and a wedged
+tunnel HANGS backend init instead of falling back. So the parent
+process imports NO jax at all; it probes each candidate platform in a
+subprocess under a hard timeout, runs the actual bench in a child
+(also under a timeout), and falls back default -> cpu. A JSON line is
+ALWAYS emitted, even on total failure (value 0, error field), so the
+driver records something every round.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
-import time
+import subprocess
+import sys
 
-import jax
+PROBE_TIMEOUT_S = 240  # tunnel contact can be slow; wedge = silence
+BENCH_TIMEOUT_S = 1800  # first XLA compile 20-40s + 12 measured iters
 
-# Honor an explicit JAX_PLATFORMS env var: this image's site hook
-# forces the tunneled-TPU platform programmatically at import, and a
-# wedged tunnel HANGS backend init instead of falling back — an
-# explicit env choice must win (same pattern as __graft_entry__).
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+_PROBE_SRC = """
+import os, jax
+plat = os.environ.get("NNX_BENCH_PLATFORM")
+if plat:
+    jax.config.update("jax_platforms", plat)
+ds = jax.devices()
+print("PROBE_OK", ds[0].platform, len(ds), flush=True)
+"""
 
-# Persistent compilation cache: reruns of the same configs skip the
-# 10-60s XLA compile (cache keys include program + flags + platform).
-jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
-from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
-from nnx_ppo_tpu.envs import CartpoleBalance
-from nnx_ppo_tpu.networks import make_mlp_actor_critic
-from nnx_ppo_tpu.parallel import make_mesh
-from nnx_ppo_tpu.wrappers import EpisodeWrapper
+def _child_env(platform: "str | None") -> dict:
+    env = dict(os.environ)
+    if platform is not None:
+        env["NNX_BENCH_PLATFORM"] = platform
+    else:
+        env.pop("NNX_BENCH_PLATFORM", None)
+    return env
+
+
+def _probe(platform: "str | None") -> "tuple[str, int] | None":
+    """Resolve (actual_platform, n_devices) for a candidate, or None."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            env=_child_env(platform),
+            capture_output=True,
+            text=True,
+            timeout=PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] probe of platform={platform!r} timed out "
+              f"({PROBE_TIMEOUT_S}s) — backend wedged", file=sys.stderr)
+        return None
+    if out.returncode != 0:
+        print(f"[bench] probe of platform={platform!r} failed:\n"
+              f"{out.stderr[-2000:]}", file=sys.stderr)
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("PROBE_OK"):
+            _, plat, n = line.split()
+            return plat, int(n)
+    return None
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload), flush=True)
+
+
+def main() -> None:
+    explicit = os.environ.get("JAX_PLATFORMS")
+    # Explicit JAX_PLATFORMS wins; otherwise try the image default
+    # (the site hook's tunneled TPU) then cpu.
+    candidates: "list[str | None]" = (
+        [explicit, "cpu"] if explicit else [None, "cpu"]
+    )
+    tried = []
+    for cand in candidates:
+        probed = _probe(cand)
+        if probed is None:
+            tried.append(str(cand))
+            continue
+        plat, ndev = probed
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=_child_env(cand),
+                capture_output=True,
+                text=True,
+                timeout=BENCH_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] bench run on platform={plat} timed out "
+                  f"({BENCH_TIMEOUT_S}s)", file=sys.stderr)
+            tried.append(f"{cand} (run timeout)")
+            continue
+        sys.stderr.write(out.stderr)
+        line = _last_json_line(out.stdout)
+        if out.returncode == 0 and line is not None:
+            _emit(line)
+            return
+        print(f"[bench] bench run on platform={plat} failed rc="
+              f"{out.returncode}", file=sys.stderr)
+        tried.append(f"{cand} (rc={out.returncode})")
+    _emit(
+        {
+            "metric": "train_sps",
+            "value": 0,
+            "unit": "env_steps/s",
+            "vs_baseline": 0.0,
+            "platform": "none",
+            "n_devices": 0,
+            "error": f"no jax backend usable; tried {tried}",
+        }
+    )
+
+
+def _last_json_line(text: str) -> "dict | None":
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+# ---------------------------------------------------------------- child
 
 N_ENVS = 1024
 ROLLOUT_LENGTH = 30
@@ -51,8 +154,40 @@ WARMUP_ITERS = 2
 MEASURE_ITERS = 10
 
 
-def main() -> None:
-    n_devices = len(jax.devices())
+def run_bench() -> None:
+    import jax
+
+    plat = os.environ.get("NNX_BENCH_PLATFORM")
+    if plat:
+        # Must happen AFTER import jax (the site hook runs at import
+        # and would otherwise re-force the tunneled platform) and
+        # BEFORE any backend touch.
+        jax.config.update("jax_platforms", plat)
+
+    # Persistent compilation cache: reruns of the same configs skip the
+    # 10-60s XLA compile (cache keys include program + flags + platform).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import functools
+    import time
+
+    from nnx_ppo_tpu.algorithms import (
+        PPOConfig,
+        make_optimizer,
+        new_training_state,
+    )
+    from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
+    from nnx_ppo_tpu.envs import CartpoleBalance
+    from nnx_ppo_tpu.networks import make_mlp_actor_critic
+    from nnx_ppo_tpu.parallel import make_mesh
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    devices = jax.devices()
+    n_devices = len(devices)
     mesh = make_mesh(n_devices) if n_devices > 1 else None
 
     env = EpisodeWrapper(CartpoleBalance(), max_len=500)
@@ -107,10 +242,16 @@ def main() -> None:
                 "value": round(sps),
                 "unit": "env_steps/s",
                 "vs_baseline": round(sps / 1e7, 4),
+                "platform": devices[0].platform,
+                "n_devices": n_devices,
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        run_bench()
+    else:
+        main()

@@ -62,28 +62,47 @@ def compute_metrics(
     return metrics
 
 
+def _summarize(
+    x: jax.Array, percentile_levels: Optional[tuple[int, ...]]
+) -> dict[Optional[str], jax.Array]:
+    """Reduce one array to named scalars.
+
+    Boolean arrays become a single fraction-true entry (``None`` key =
+    no suffix); float arrays become percentiles if levels were given,
+    else mean/std. The metric *name format* (``name/mean``, ``name/pN``)
+    is the logging contract shared with the reference
+    (``nnx_ppo/docs/reference/logging.rst``).
+    """
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.bool_):
+        return {None: jnp.mean(x)}
+    if percentile_levels:
+        values = jnp.percentile(x, jnp.asarray(percentile_levels))
+        return {
+            f"p{int(level)}": values[i]
+            for i, level in enumerate(percentile_levels)
+        }
+    return {"mean": jnp.mean(x), "std": jnp.std(x)}
+
+
 def _log_metric(
     metrics: dict[str, Any],
     name: str,
     x: Union[Mapping, jax.Array],
     percentile_levels: Optional[tuple[int, ...]] = None,
 ) -> None:
-    """Recursive metric logging: Mapping → nested names; bool arrays →
-    fraction-true; otherwise mean/std or percentiles (reference
-    ``metrics.py:72-100``)."""
-    if isinstance(x, Mapping):
-        for k, v in x.items():
-            _log_metric(metrics, f"{name}/{k}", v, percentile_levels)
-        return
-    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.bool_):
-        metrics[name] = jnp.mean(x)
-    elif percentile_levels is None or len(percentile_levels) == 0:
-        metrics[f"{name}/mean"] = jnp.mean(x)
-        metrics[f"{name}/std"] = jnp.std(x)
-    else:
-        percentiles = jnp.percentile(x, jnp.array(percentile_levels))
-        for pl, p in zip(percentile_levels, percentiles):
-            metrics[f"{name}/p{int(pl)}"] = p
+    """Flatten a (possibly Mapping-nested) metric into scalar entries.
+
+    Iterative worklist traversal: Mapping levels extend the name with
+    ``/key``; array leaves are reduced by :func:`_summarize`.
+    """
+    pending: list[tuple[str, Any]] = [(name, x)]
+    while pending:
+        prefix, value = pending.pop()
+        if isinstance(value, Mapping):
+            pending.extend((f"{prefix}/{k}", v) for k, v in value.items())
+            continue
+        for suffix, scalar in _summarize(value, percentile_levels).items():
+            metrics[prefix if suffix is None else f"{prefix}/{suffix}"] = scalar
 
 
 def log_weight_stats(
@@ -91,13 +110,12 @@ def log_weight_stats(
     networks: StatefulModule,
     percentile_levels: Optional[tuple[int, ...]] = None,
 ) -> None:
-    """Aggregate stats over all trainable parameter leaves (reference
-    ``metrics.py:103-121``; here the trainable partition replaces
-    ``nnx.state(networks, nnx.Param)``)."""
+    """Aggregate stats over all trainable parameter leaves (fills the
+    role of reference ``metrics.py:103-121``; the trainable partition
+    replaces ``nnx.state(networks, nnx.Param)``)."""
     params, _ = partition_params(networks)
-    leaves = jax.tree.leaves(params)
-    if not leaves:
-        warnings.warn("Network has no trainable param leaves; skipping weight stats.")
+    flat = [jnp.ravel(leaf) for leaf in jax.tree.leaves(params)]
+    if not flat:
+        warnings.warn("No trainable parameters found; weight stats skipped.")
         return
-    weights = jnp.concatenate([p.flatten() for p in leaves])
-    _log_metric(metrics, "weights", weights, percentile_levels)
+    _log_metric(metrics, "weights", jnp.concatenate(flat), percentile_levels)

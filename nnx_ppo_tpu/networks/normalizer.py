@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from nnx_ppo_tpu.core.struct import field, pytree_dataclass, static_field
+from nnx_ppo_tpu.ops.welford import batch_moments, merge_moments
 from nnx_ppo_tpu.networks.types import (
     ModuleOutput,
     StatefulModule,
@@ -80,29 +81,30 @@ class Normalizer(StatefulModule):
         return True
 
     def update_statistics(self, rollout_extras: Any) -> "Normalizer":
-        """One batched Welford merge of the ``[T, B, *feat]`` history.
+        """Fold the ``[T, B, *feat]`` history into the running stats.
 
-        ``M2_combined = M2_a + M2_b + delta^2 * n_a * n_b / (n_a + n_b)``
-        — associative, so it distributes over sharded batches
-        (per-shard partials + all-reduce under GSPMD).
+        Each leaf's history collapses to a ``(count, mean, M2)`` triple
+        (:func:`~nnx_ppo_tpu.ops.welford.batch_moments`) which merges
+        into the running triple via the associative parallel-variance
+        rule (:func:`~nnx_ppo_tpu.ops.welford.merge_moments`) — so the
+        fold distributes over sharded batches as per-shard partials +
+        one GSPMD all-reduce.
         """
-        leaves = jax.tree.leaves(rollout_extras)
-        flat = jax.tree.map(lambda v: v.reshape((-1,) + v.shape[2:]), rollout_extras)
-        n = leaves[0].shape[0] * leaves[0].shape[1]
-        new_count = self.counter + n
-        frac = n / new_count
 
-        batch_mean = jax.tree.map(lambda v: jnp.mean(v, axis=0), flat)
-        batch_M2 = jax.tree.map(
-            lambda v, bm: jnp.sum(jnp.square(v - bm), axis=0), flat, batch_mean
-        )
+        def fold_leaf(running_mean, running_m2, history):
+            samples = history.reshape((-1,) + history.shape[2:])
+            merged = merge_moments(
+                (self.counter, running_mean, running_m2),
+                batch_moments(samples),
+            )
+            return merged[1], merged[2]
 
-        delta = jax.tree.map(lambda bm, m: bm - m, batch_mean, self.mean)
-        new_mean = jax.tree.map(lambda m, d: m + d * frac, self.mean, delta)
-        new_M2 = jax.tree.map(
-            lambda m2, bm2, d: m2 + bm2 + (d * d) * self.counter * n / new_count,
-            self.M2,
-            batch_M2,
-            delta,
+        folded = jax.tree.map(fold_leaf, self.mean, self.M2, rollout_extras)
+        new_mean, new_M2 = jax.tree.transpose(
+            jax.tree.structure(self.mean), jax.tree.structure((0, 0)), folded
         )
-        return self.replace(mean=new_mean, M2=new_M2, counter=new_count)
+        first = jax.tree.leaves(rollout_extras)[0]
+        n_samples = first.shape[0] * first.shape[1]
+        return self.replace(
+            mean=new_mean, M2=new_M2, counter=self.counter + n_samples
+        )
