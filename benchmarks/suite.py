@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# Honor an explicit JAX_PLATFORMS env var: this image's site hook forces
+# the tunneled-TPU platform programmatically at import, and a wedged
+# tunnel HANGS backend init instead of falling back (same pattern as
+# bench.py / __graft_entry__.py).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # Persistent compilation cache: reruns of the same configs skip the
 # 10-60s XLA compile (cache keys include program + flags + platform).
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), '../.jax_cache'))
@@ -391,6 +398,7 @@ def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
         "n_devices": n_devices,
         "warmup_s": round(compile_s, 1),
         "device": jax.devices()[0].device_kind,
+        "platform": jax.devices()[0].platform,
     }
     stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
     if stats and "peak_bytes_in_use" in stats:

@@ -91,15 +91,21 @@ def _named_leaves(tree: Any) -> list[tuple[str, Any]]:
     """
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     named = [(_path_name(path), leaf) for path, leaf in flat]
-    seen: dict[str, int] = {}
-    unique = []
-    for name, leaf in named:
-        n = seen.get(name, 0)
-        seen[name] = n + 1
-        # Disambiguate pathological collisions (e.g. dict keys that
-        # themselves contain '/') deterministically.
-        unique.append((name if n == 0 else f"{name}#{n}", leaf))
-    return unique
+    seen: set[str] = set()
+    for name, _ in named:
+        if name in seen:
+            # A collision means two distinct key paths render to the
+            # same name (e.g. a dict key containing '/'). Suffixing
+            # would match the colliding slots purely by flatten order at
+            # load time — exactly the silent cross-assignment the named
+            # format exists to prevent — so refuse instead.
+            raise ValueError(
+                f"Checkpoint leaf name collision: {name!r} is produced "
+                "by more than one key path. Rename the offending dict "
+                "key (avoid '/' in keys) so every leaf has a unique path."
+            )
+        seen.add(name)
+    return named
 
 
 def _split_leaves(tree: Any):

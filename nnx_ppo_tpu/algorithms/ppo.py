@@ -506,6 +506,13 @@ def train_ppo(
             # 0 over the whole run. ceil() so the lr never actually
             # reaches 0 mid-run when total_steps isn't a multiple of
             # the per-iteration step count.
+            #
+            # Resume semantics: the horizon assumes the schedule count
+            # starts at 0 with training. Resuming with a
+            # checkpoint-restored `initial_state` continues the decay
+            # correctly (its opt_state carries the schedule count); a
+            # hand-built initial_state with a fresh opt_state re-anneals
+            # from the initial lr over the full horizon.
             steps_per_iter = config.ppo.n_envs * config.ppo.rollout_length
             n_iters = -(-config.ppo.total_steps // steps_per_iter)
             n_updates = n_iters * config.ppo.n_epochs * config.ppo.n_minibatches

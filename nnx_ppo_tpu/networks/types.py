@@ -259,7 +259,23 @@ def advance_per_env_keys(
     next-key splits — the same ``split_per_env_keys(...)[0]`` chain the
     sequential scan walks, so fused sequence replay can hand the T+1
     bootstrap forward keys that match the step-wise path and are
-    independent of every per-step sample key."""
+    independent of every per-step sample key.
+
+    Relies on *prefix stability* of the key impl: ``split(k, 2)[0] ==
+    split(k, n)[0]`` for any n, so a module that splits into 3 per step
+    (e.g. NormalTanhSampler) still lands on the same next carry key.
+    Threefry (the JAX default) is prefix-stable; rbg/unsafe_rbg are
+    not, so they are rejected here rather than silently diverging from
+    the sequential path.
+    """
+    impl = str(jax.random.key_impl(keys))
+    if "threefry" not in impl:
+        raise NotImplementedError(
+            f"advance_per_env_keys requires the prefix-stable threefry "
+            f"key impl (split(k,2)[0] == split(k,n)[0]); got {impl!r}. "
+            "Fused sequence replay would diverge from the sequential "
+            "path under this impl — use jax_default_prng_impl=threefry2x32."
+        )
 
     def step(k, _):
         return split_per_env_keys(k, 2)[0], None

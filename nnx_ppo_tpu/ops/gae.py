@@ -27,6 +27,7 @@ otherwise. Both are used under ``stop_gradient`` so no VJP is needed.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -148,7 +149,8 @@ def gae_pallas(
 
 
 def _fits_vmem(T: int, B: int) -> bool:
-    # 5 [T,B] f32 buffers must fit comfortably in ~16 MB of VMEM.
+    # 5 [T,B] f32 buffers; budget = 8 MB, i.e. half of a v5e core's
+    # ~16 MB VMEM, leaving headroom for spills/double-buffering.
     return 5 * (T + 1) * B * 4 < 8 * 1024 * 1024
 
 
@@ -175,6 +177,19 @@ def gae(
     if allow_pallas and backend == "tpu" and B % 128 == 0 and _fits_vmem(T, B):
         return gae_pallas(
             rewards, values_excl_last, last_value, done, truncation, lambda_, gamma
+        )
+    if allow_pallas and backend == "tpu":
+        # Silent-cap rule: say when the fast path is declined and why.
+        reason = (
+            f"B={B} not a multiple of 128"
+            if B % 128 != 0
+            else f"T={T},B={B} exceeds the VMEM budget"
+        )
+        warnings.warn(
+            f"gae: falling back to the scan path on TPU ({reason}); "
+            "pad the minibatch env count to a multiple of 128 to use the "
+            "Pallas kernel.",
+            stacklevel=2,
         )
     return gae_scan(
         rewards, values_excl_last, last_value, done, truncation, lambda_, gamma
