@@ -29,6 +29,8 @@ from nnx_ppo_tpu.physics.engine_depthwise import (
     forward_dynamics_dw,
     mass_matrix_inverse_dw,
 )
+from nnx_ppo_tpu.physics.engine_soa import soa_unsupported_reason
+from nnx_ppo_tpu.physics.pallas_step import make_substep_runner
 from nnx_ppo_tpu.physics.model import Model
 from nnx_ppo_tpu.physics.randomize import privileged_vector
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
@@ -194,6 +196,7 @@ class LeggedJoystick:
         push_prob: float = 0.0,
         push_force: float = 0.0,
         depthwise: bool | None = None,
+        substep_impl: str = "auto",
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -287,6 +290,43 @@ class LeggedJoystick:
                 self._plan = DepthPlan.build(model)
             except ValueError:
                 self._plan = None
+        # Substep implementation: 'pallas' fuses all per-substep math of
+        # an env tile into one Pallas megakernel (physics/pallas_step.py)
+        # — ~200 sequential XLA kernels per substep collapse into one
+        # program per tile. Requires the fast-path semantics (held
+        # M + dt·D factor) and the SoA feature set (flat ground, no
+        # pairs/limits/springs/DR/terrain/push). 'auto' builds the
+        # runner when supported and lets it engage on TPU only (the XLA
+        # paths win on CPU); 'xla' = never.
+        if substep_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"substep_impl must be 'auto'|'xla'|'pallas', got "
+                f"{substep_impl!r}"
+            )
+        self.substep_impl = substep_impl
+        self._substep_runner = None
+        if substep_impl != "xla":
+            reason = soa_unsupported_reason(model)
+            if reason is None and not reuse_mass_matrix:
+                reason = (
+                    "the Pallas substep path holds the M + dt·D factor "
+                    "over the control step — pass reuse_mass_matrix=True"
+                )
+            if reason is None and terrain is not None:
+                reason = "SoA substep supports the flat z=0 ground only"
+            if reason is None and randomize is not None:
+                reason = (
+                    "SoA substep does not consume per-env DR overrides"
+                )
+            if reason is None and push_force > 0.0:
+                reason = "SoA substep does not apply external push forces"
+            if reason is None:
+                self._substep_runner = make_substep_runner(
+                    model, kp, self.physics_dt, n_substeps,
+                    force_pallas=(substep_impl == "pallas"),
+                )
+            elif substep_impl == "pallas":
+                raise ValueError(f"substep_impl='pallas' unsupported: {reason}")
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
         if height_scan > 0:
             lin = jnp.linspace(-height_scan_extent, height_scan_extent,
@@ -555,6 +595,25 @@ class LeggedJoystick:
         dr = q.get("dr") if self.randomize is not None else None
         gain = 1.0 if dr is None or dr.gain_scale is None else dr.gain_scale
 
+        # Megakernel dispatch (trace-time): the runner's custom_vmap
+        # sends the vmapped batch into one Pallas program per tile. On
+        # 'auto' it engages on TPU only — the XLA depthwise/generic
+        # paths win on CPU; 'pallas' forces it (interpret mode off-TPU,
+        # for exactness tests through the env path).
+        if self._substep_runner is not None and (
+            self.substep_impl == "pallas" or jax.default_backend() == "tpu"
+        ):
+            chol = mass_matrix_factor(
+                self.model, q["qpos"], dt=self.physics_dt
+            )
+            qpos, qvel, last_normals = self._substep_runner(
+                q["qpos"], q["qvel"], target, chol
+            )
+            return self._finish_step(
+                q, action, qpos, qvel, last_normals[: self.n_feet],
+                q["key"],
+            )
+
         chol = minv = None
         if self.reuse_mass_matrix:
             if self._plan is not None:
@@ -612,6 +671,15 @@ class LeggedJoystick:
         (qpos, qvel), foot_normals = jax.lax.scan(
             substep, (q["qpos"], q["qvel"]), None, length=self.n_substeps
         )
+        return self._finish_step(
+            q, action, qpos, qvel, foot_normals[-1], key_rest
+        )
+
+    def _finish_step(
+        self, q, action, qpos, qvel, last_foot_normals, key_rest
+    ) -> State:
+        """Post-substep tail shared by the XLA and Pallas paths:
+        command resampling, carry-key advance, state assembly."""
         resample_key, cmd_key, noise_key, carry_key = jax.random.split(
             key_rest, 4
         )
@@ -626,9 +694,9 @@ class LeggedJoystick:
             "key": carry_key,
             "prev_action": action,
         }
-        if dr is not None:
-            new_q["dr"] = dr  # draw is per-episode; reset resamples
+        if self.randomize is not None:
+            new_q["dr"] = q["dr"]  # draw is per-episode; reset resamples
         return self._state(
             new_q, action, q["prev_action"],
-            foot_normals=foot_normals[-1], noise_key=noise_key,
+            foot_normals=last_foot_normals, noise_key=noise_key,
         )

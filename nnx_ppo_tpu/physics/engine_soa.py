@@ -32,6 +32,27 @@ def _const9(M):
     return tuple(float(v) for v in M.reshape(-1))
 
 
+def soa_unsupported_reason(model: Model) -> "str | None":
+    """Why the SoA substep (and thus the Pallas megakernel) cannot run
+    this model — or ``None`` if it can. Mirrors the guards inside
+    :func:`substep_soa` so callers (e.g. ``LeggedJoystick``) can
+    validate eagerly at construction instead of at trace time."""
+    if not model.free_base:
+        return "SoA substep supports free-base models only"
+    if not all(t in (FREE, HINGE) for t in model.joint_type):
+        return "SoA substep supports hinge joints only"
+    if model.pair_geom_a:
+        return "SoA substep does not implement sphere-sphere collision pairs"
+    if model.joint_lower.size > 0 and (
+        np.isfinite(model.joint_lower).any()
+        or np.isfinite(model.joint_upper).any()
+    ):
+        return "SoA substep does not implement joint-range limits"
+    if model.spring_stiffness.size > 0 and (model.spring_stiffness > 0).any():
+        return "SoA substep does not implement joint springs"
+    return None
+
+
 def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
     """One physics substep on lane tuples.
 

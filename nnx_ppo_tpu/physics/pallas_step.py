@@ -1,10 +1,10 @@
 """Pallas TPU megakernel for the legged-robot physics substeps.
 
-One ``pallas_call`` executes ALL ``n_substeps`` of a control step for a
-tile of environments, with every intermediate held in VMEM/registers:
-the ~200 small sequential XLA kernels per substep (the measured
-bottleneck of the physics rollout — see ``docs/physics.md``) collapse
-into a single fused program per tile. The math body is the SoA substep
+One ``pallas_call`` executes the substeps of a control step for a tile
+of environments, with every intermediate held in VMEM/registers: the
+~200 small sequential XLA kernels per substep (the measured bottleneck
+of the physics rollout — see ``docs/physics.md``) collapse into a
+single fused program per tile. The math body is the SoA substep
 (``engine_soa.py``), exactness-tested against the generic engine; this
 module only adds the lane plumbing.
 
@@ -15,11 +15,16 @@ the 10 fused substeps). The Cholesky factor of ``M + dt·D`` is computed
 OUTSIDE (existing XLA path, once per control step — the
 ``reuse_mass_matrix`` semantics) and passed in packed lower-triangular
 form.
+
+:func:`make_substep_runner` wraps the kernel in a
+``jax.custom_batching.custom_vmap`` so a per-env ``env.step`` keeps its
+unbatched semantics (the SoA math on scalar lanes) while the
+framework's ``jax.vmap(env.step)`` dispatches the whole env batch into
+the megakernel — the TPU-native answer to "the hot path is batched but
+the protocol is per-env".
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +49,7 @@ def pallas_substeps(
     tile: int = 256,
     interpret: bool = False,
     substeps_per_kernel: int = 1,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Run ``n_substeps`` physics substeps through the Pallas kernel.
 
     The kernel executes ``substeps_per_kernel`` fused substeps per
@@ -55,12 +60,15 @@ def pallas_substeps(
     control step is 10 kernel launches instead of the ~2000 XLA kernels
     of the vmapped generic engine.
 
-    Returns ``(qpos', qvel')`` with the input layouts.
+    Returns ``(qpos', qvel', normals)`` with env-major layouts; normals
+    ``[B, n_geoms]`` are the contact normal forces of the LAST substep
+    (pre-integration state, matching the generic engine's scan output).
     """
     from jax.experimental import pallas as pl
 
     B = qpos.shape[0]
     nq, nv, nj = model.nq, model.nv, model.nj
+    n_geoms = len(model.geom_body)
     if B % tile != 0:
         raise ValueError(f"batch {B} not divisible by tile {tile}")
     if n_substeps % substeps_per_kernel != 0:
@@ -72,7 +80,8 @@ def pallas_substeps(
     target_t = target.T
     chol_packed = jnp.stack([chol[:, i, j] for (i, j) in tri])  # [n_tri, B]
 
-    def kernel(qpos_ref, qvel_ref, target_ref, chol_ref, qpos_out, qvel_out):
+    def kernel(qpos_ref, qvel_ref, target_ref, chol_ref,
+               qpos_out, qvel_out, normals_out):
         qp = tuple(qpos_ref[k, :] for k in range(nq))
         qv = tuple(qvel_ref[k, :] for k in range(nv))
         tgt = tuple(target_ref[k, :] for k in range(nj))
@@ -81,12 +90,16 @@ def pallas_substeps(
             rows[i][j] = chol_ref[idx, :]
         chol_lanes = tuple(tuple(r) for r in rows)
 
+        normals = None
         for _ in range(substeps_per_kernel):
-            qp, qv, _ = substep_soa(model, qp, qv, tgt, chol_lanes, kp, dt)
+            qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
+                                          kp, dt)
         for k in range(nq):
             qpos_out[k, :] = qp[k]
         for k in range(nv):
             qvel_out[k, :] = qv[k]
+        for k in range(n_geoms):
+            normals_out[k, :] = normals[k]
 
     grid = (B // tile,)
 
@@ -97,10 +110,11 @@ def pallas_substeps(
         kernel,
         grid=grid,
         in_specs=[spec(nq), spec(nv), spec(nj), spec(len(tri))],
-        out_specs=[spec(nq), spec(nv)],
+        out_specs=[spec(nq), spec(nv), spec(n_geoms)],
         out_shape=[
             jax.ShapeDtypeStruct((nq, B), jnp.float32),
             jax.ShapeDtypeStruct((nv, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_geoms, B), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -109,6 +123,88 @@ def pallas_substeps(
     qvel_t = qvel_t.astype(jnp.float32)
     target_t = target_t.astype(jnp.float32)
     chol_packed = chol_packed.astype(jnp.float32)
+    normals_t = None
     for _ in range(n_substeps // substeps_per_kernel):
-        qpos_t, qvel_t = call(qpos_t, qvel_t, target_t, chol_packed)
-    return qpos_t.T, qvel_t.T
+        qpos_t, qvel_t, normals_t = call(qpos_t, qvel_t, target_t,
+                                         chol_packed)
+    return qpos_t.T, qvel_t.T, normals_t.T
+
+
+def _pick_tile(B: int) -> "int | None":
+    for tile in (512, 256, 128):
+        if B % tile == 0:
+            return tile
+    return None
+
+
+def make_substep_runner(
+    model: Model,
+    kp: float,
+    dt: float,
+    n_substeps: int,
+    force_pallas: bool = False,
+):
+    """Per-env substep function whose BATCHED execution is the Pallas
+    megakernel.
+
+    Returns ``run(qpos [nq], qvel [nv], target [nj], chol [nv, nv]) ->
+    (qpos', qvel', last_normals [n_geoms])``. Called unbatched (e.g.
+    the single-env render rollout) it traces the SoA math on scalar
+    lanes; under ``jax.vmap`` a ``custom_vmap`` rule receives the whole
+    env batch and dispatches it to :func:`pallas_substeps` — on TPU
+    with a lane-aligned batch, or anywhere in interpret mode when
+    ``force_pallas`` is set (exactness tests). Otherwise the rule falls
+    back to vmapping the scalar-lane path, which XLA fuses the usual
+    way.
+    """
+    from jax.custom_batching import custom_vmap
+
+    nq, nv, nj = model.nq, model.nv, model.nj
+    n_geoms = len(model.geom_body)
+
+    def run_one(qpos, qvel, target, chol):
+        qp = tuple(qpos[k] for k in range(nq))
+        qv = tuple(qvel[k] for k in range(nv))
+        tgt = tuple(target[k] for k in range(nj))
+        chol_lanes = tuple(
+            tuple(chol[i, j] for j in range(i + 1)) for i in range(nv)
+        )
+        normals = None
+        for _ in range(n_substeps):
+            qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
+                                          kp, dt)
+        return (
+            jnp.stack(qp),
+            jnp.stack(qv),
+            jnp.stack(normals) if n_geoms else jnp.zeros((0,)),
+        )
+
+    @custom_vmap
+    def run(qpos, qvel, target, chol):
+        return run_one(qpos, qvel, target, chol)
+
+    @run.def_vmap
+    def run_vmap(axis_size, in_batched, qpos, qvel, target, chol):
+        def ensure(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        qpos = ensure(qpos, in_batched[0])
+        qvel = ensure(qvel, in_batched[1])
+        target = ensure(target, in_batched[2])
+        chol = ensure(chol, in_batched[3])
+
+        on_tpu = jax.default_backend() == "tpu"
+        tile = _pick_tile(axis_size) if on_tpu else axis_size
+        if force_pallas or (on_tpu and tile is not None):
+            out = pallas_substeps(
+                model, qpos, qvel, target, chol, kp, dt, n_substeps,
+                tile=tile if tile is not None else axis_size,
+                interpret=not on_tpu,
+            )
+        else:
+            out = jax.vmap(run_one)(qpos, qvel, target, chol)
+        return out, (True, True, True)
+
+    return run

@@ -1,0 +1,120 @@
+"""The Pallas substep path must be reachable from the real env
+(``LeggedJoystick(substep_impl='pallas')``) and exactly reproduce the
+XLA fast path through the full vmapped ``env.step`` — states, rewards,
+AND metrics (the foot normals come out of the kernel itself).
+
+Runs the kernel in interpret mode on CPU (platform-independent); on a
+real TPU the same dispatch compiles the Mosaic kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+
+def _batched_states(env, batch: int, key):
+    return jax.vmap(env.reset)(jax.random.split(key, batch))
+
+
+def test_env_pallas_matches_xla_fast_path():
+    # n_substeps trimmed from the 10-substep default: interpret-mode
+    # Pallas executes lane-by-lane on the host, and 3 substeps already
+    # cross the contact/swing regimes the parity needs to cover.
+    B, T = 8, 3
+    ref_env = QuadrupedJoystick(
+        reuse_mass_matrix=True, depthwise=False, substep_impl="xla",
+        n_substeps=3,
+    )
+    pl_env = QuadrupedJoystick(
+        reuse_mass_matrix=True, substep_impl="pallas", n_substeps=3,
+    )
+    key = jax.random.key(0)
+    ref_state = _batched_states(ref_env, B, key)
+    pl_state = _batched_states(pl_env, B, key)
+    actions = 0.3 * jax.random.normal(
+        jax.random.key(1), (T, B, ref_env.action_size)
+    )
+
+    ref_step = jax.jit(jax.vmap(ref_env.step))
+    pl_step = jax.jit(jax.vmap(pl_env.step))
+    for t in range(T):
+        ref_state = ref_step(ref_state, actions[t])
+        pl_state = pl_step(pl_state, actions[t])
+
+    np.testing.assert_allclose(
+        np.asarray(pl_state.data["qpos"]),
+        np.asarray(ref_state.data["qpos"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_state.data["qvel"]),
+        np.asarray(ref_state.data["qvel"]),
+        rtol=2e-3, atol=2e-3,
+    )
+    for k in ref_state.reward:
+        np.testing.assert_allclose(
+            np.asarray(pl_state.reward[k]),
+            np.asarray(ref_state.reward[k]),
+            rtol=1e-3, atol=1e-3,
+        )
+    # Foot-contact metrics come from the kernel's normals output.
+    np.testing.assert_allclose(
+        np.asarray(pl_state.metrics["contact_force"]),
+        np.asarray(ref_state.metrics["contact_force"]),
+        rtol=5e-3, atol=5e-2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pl_state.metrics["foot_contacts"]),
+        np.asarray(ref_state.metrics["foot_contacts"]),
+    )
+
+
+def test_env_pallas_unbatched_step():
+    """Unbatched env.step (the render-rollout path) runs the scalar-lane
+    primal, no Pallas launch needed."""
+    env = QuadrupedJoystick(
+        reuse_mass_matrix=True, substep_impl="pallas", n_substeps=2
+    )
+    state = env.reset(jax.random.key(0))
+    nxt = jax.jit(env.step)(state, jnp.zeros(env.action_size))
+    assert jnp.isfinite(nxt.data["qpos"]).all()
+    assert nxt.metrics["foot_contacts"] >= 0
+
+
+@pytest.mark.parametrize(
+    "kwargs,match",
+    [
+        (dict(), "reuse_mass_matrix"),
+        (dict(reuse_mass_matrix=True, joint_limits=True), "joint-range"),
+        (dict(reuse_mass_matrix=True, self_collision=True), "collision pairs"),
+        (
+            dict(reuse_mass_matrix=True, randomize="DR"),
+            "DR overrides",
+        ),
+    ],
+)
+def test_env_pallas_refuses_unsupported(kwargs, match):
+    if kwargs.get("randomize") == "DR":
+        from nnx_ppo_tpu.physics import DomainRandomization
+
+        kwargs["randomize"] = DomainRandomization(mass_scale=(0.9, 1.1))
+    with pytest.raises(ValueError, match=match):
+        QuadrupedJoystick(substep_impl="pallas", **kwargs)
+
+
+def test_env_auto_builds_runner_but_stays_xla_on_cpu():
+    """'auto' prepares the megakernel runner for supported configs but
+    does not engage it off-TPU (the depthwise XLA path wins on CPU)."""
+    env = QuadrupedJoystick(reuse_mass_matrix=True)  # substep_impl='auto'
+    assert env._substep_runner is not None
+    # Unsupported configs quietly keep the XLA path under 'auto'.
+    env2 = QuadrupedJoystick(reuse_mass_matrix=True, joint_limits=True)
+    assert env2._substep_runner is None
+    # Off-TPU, a step through 'auto' must take the XLA path and stay
+    # finite (dispatch is trace-time on jax.default_backend()).
+    state = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), 4))
+    nxt = jax.jit(jax.vmap(env.step))(state, jnp.zeros((4, env.action_size)))
+    assert jnp.isfinite(nxt.data["qpos"]).all()

@@ -101,7 +101,7 @@ def test_pallas_kernel_interpret_matches_soa():
     chol = jax.vmap(lambda q: mass_matrix_factor(model, q, dt=dt))(qpos)
 
     ref_qp, ref_qv = soa_substeps(model, qpos, qvel, target, kp, dt, n_sub)
-    pq, pv = pallas_substeps(
+    pq, pv, pnormals = pallas_substeps(
         model, qpos, qvel, target, chol, kp, dt, n_sub,
         tile=128, interpret=True,
     )
@@ -109,6 +109,9 @@ def test_pallas_kernel_interpret_matches_soa():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(pv), np.asarray(ref_qv),
                                rtol=2e-3, atol=2e-3)
+    assert pnormals.shape == (B, len(model.geom_body))
+    # Standing at the default height, the foot spheres carry weight.
+    assert np.asarray(pnormals).max() > 0.0
 
 
 def test_soa_refuses_unsupported_contact_features():
