@@ -1,6 +1,7 @@
 from nnx_ppo_tpu.envs.chain import NLinkSwingup
 from nnx_ppo_tpu.envs.classic import CartpoleBalance, CartpoleSwingup, Pendulum
 from nnx_ppo_tpu.envs.locomotion import JoystickLocomotion
+from nnx_ppo_tpu.envs.mjc_backend import MJC_AVAILABLE, MJCBackend, MJCData
 from nnx_ppo_tpu.envs.mjx import MJX_AVAILABLE, MJXCartpoleBalance, MJXEnv
 from nnx_ppo_tpu.envs.humanoid import HumanoidJoystick
 from nnx_ppo_tpu.envs.legged import LeggedJoystick, legged_from_mjcf
@@ -24,5 +25,8 @@ __all__ = [
     "MJXEnv",
     "MJXCartpoleBalance",
     "MJX_AVAILABLE",
+    "MJCBackend",
+    "MJCData",
+    "MJC_AVAILABLE",
     "State",
 ]

@@ -1,15 +1,23 @@
-"""MJX (MuJoCo-XLA) environment adapter.
+"""MuJoCo environment adapter (MJX / MuJoCo-C backends).
 
-The reference's physics substrate is ``mujoco_playground`` (MJX
-``impl="jax"`` / MuJoCo-Warp ``impl="warp"`` — reference
-``ppo_test.py:26-28``). On TPU the jit-able path is MJX, which compiles
-to XLA and shards over a data-parallel mesh like any other pytree env.
+The reference's physics substrate is ``mujoco_playground`` with a
+backend-parametrized implementation switch (MJX ``impl="jax"`` /
+MuJoCo-Warp ``impl="warp"`` — reference ``ppo_test.py:26-28,447-487``).
+This adapter mirrors that switch TPU-first:
 
-This module is **import-gated**: it needs the optional ``mujoco-mjx``
-package (``pip install mujoco-mjx``). Everything else in the framework
-is independent of it — any object satisfying the ``RLEnv`` protocol
-plugs in, including ``mujoco_playground`` envs directly (their
-``State`` already has obs/done/reward/info/metrics).
+* ``impl="mjx"`` — MuJoCo-XLA: compiles to XLA, shards over a
+  data-parallel mesh like any other pytree env. The TPU path. Needs
+  the optional ``mujoco-mjx`` package.
+* ``impl="mjc"`` — the MuJoCo **C** engine through ``jax.pure_callback``
+  (:mod:`nnx_ppo_tpu.envs.mjc_backend`): runs wherever plain
+  ``mujoco`` is installed. The CPU development / ground-truth parity
+  path.
+* ``impl="auto"`` (default) — mjx if importable, else mjc.
+
+Everything else in the framework is independent of this module — any
+object satisfying the ``RLEnv`` protocol plugs in, including
+``mujoco_playground`` envs directly (their ``State`` already has
+obs/done/reward/info/metrics).
 
 ``MJXEnv`` wraps a raw ``mujoco.MjModel`` as a single unbatched
 ``RLEnv`` (the library vmaps to n_envs). Subclasses override the task
@@ -23,40 +31,67 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from nnx_ppo_tpu.envs.mjc_backend import MJC_AVAILABLE, MJCBackend, mujoco
 from nnx_ppo_tpu.envs.types import State
 
 try:  # pragma: no cover - exercised only when mujoco-mjx is installed
-    import mujoco
     from mujoco import mjx
 
     MJX_AVAILABLE = True
 except ImportError:  # pragma: no cover
-    mujoco = None
     mjx = None
     MJX_AVAILABLE = False
 
 
 class MJXEnv:
-    """A MuJoCo model as an ``RLEnv`` via MJX.
+    """A MuJoCo model as an ``RLEnv`` via MJX or the C engine.
 
     Args:
       mj_model: a ``mujoco.MjModel`` (e.g. ``MjModel.from_xml_string``).
       n_substeps: physics substeps per env step (frame-skip).
       reset_noise: uniform qpos/qvel noise half-width at reset.
+      impl: ``"auto"`` | ``"mjx"`` | ``"mjc"`` backend selection (see
+        module docstring).
     """
 
-    def __init__(self, mj_model: Any, n_substeps: int = 4, reset_noise: float = 0.05):
-        if not MJX_AVAILABLE:
+    def __init__(
+        self,
+        mj_model: Any,
+        n_substeps: int = 4,
+        reset_noise: float = 0.05,
+        impl: str = "auto",
+    ):
+        if impl not in ("auto", "mjx", "mjc"):
+            raise ValueError(f"impl must be 'auto'|'mjx'|'mjc', got {impl!r}")
+        if impl == "auto":
+            impl = "mjx" if MJX_AVAILABLE else "mjc"
+        if impl == "mjx" and not MJX_AVAILABLE:
             raise ImportError(
-                "MJXEnv requires the optional 'mujoco-mjx' package "
-                "(pip install mujoco mujoco-mjx)."
+                "MJXEnv(impl='mjx') requires the optional 'mujoco-mjx' "
+                "package (pip install mujoco mujoco-mjx)."
             )
+        if impl == "mjc" and not MJC_AVAILABLE:
+            raise ImportError(
+                "MJXEnv(impl='mjc') requires the 'mujoco' package; "
+                "for the XLA backend install 'mujoco-mjx'."
+            )
+        self.impl = impl
         self._mj_model = mj_model
-        self._model = mjx.put_model(mj_model)
+        if impl == "mjx":
+            self._model = mjx.put_model(mj_model)
+            self._mjc: MJCBackend | None = None
+        else:
+            self._mjc = MJCBackend(mj_model)
+            self._model = None
         self.n_substeps = n_substeps
         self.reset_noise = reset_noise
         self.action_size = mj_model.nu
-        self.observation_size = self._obs(mjx.make_data(self._model)).shape[-1]
+        self.observation_size = self._obs(self._fresh_data()).shape[-1]
+
+    def _fresh_data(self) -> Any:
+        if self.impl == "mjx":
+            return mjx.make_data(self._model)
+        return self._mjc.make_data()
 
     # -- task hooks (override in subclasses) -------------------------------
 
@@ -96,14 +131,22 @@ class MJXEnv:
 
     def reset(self, rng: jax.Array) -> State:
         qpos, qvel = self._init_qpos(rng)
-        data = mjx.make_data(self._model)
-        data = data.replace(qpos=qpos, qvel=qvel)
-        data = mjx.forward(self._model, data)
+        data = self._fresh_data()
+        data = data.replace(
+            qpos=qpos.astype(data.qpos.dtype), qvel=qvel.astype(data.qvel.dtype)
+        )
+        if self.impl == "mjx":
+            data = mjx.forward(self._model, data)
         return self._state(data, jnp.zeros(self.action_size))
 
     def step(self, state: State, action: jax.Array) -> State:
         action = jnp.clip(jnp.asarray(action).reshape(self.action_size), -1.0, 1.0)
-        data = state.data.replace(ctrl=action)
+        data = state.data.replace(ctrl=action.astype(state.data.ctrl.dtype))
+
+        if self.impl == "mjc":
+            # One host round-trip covers the whole frame-skip.
+            data = self._mjc.step(data, n_substeps=self.n_substeps)
+            return self._state(data, action)
 
         def substep(d, _):
             return mjx.step(self._model, d), None
@@ -154,11 +197,12 @@ class MJXCartpoleBalance(MJXEnv):
     cart leaving the track or pole falling. Physics-backed counterpart of
     the analytic ``envs.classic.CartpoleBalance``."""
 
-    def __init__(self, n_substeps: int = 2):
-        if not MJX_AVAILABLE:
-            raise ImportError("MJXCartpoleBalance requires 'mujoco-mjx'.")
+    def __init__(self, n_substeps: int = 2, impl: str = "auto"):
+        if not (MJX_AVAILABLE or MJC_AVAILABLE):
+            raise ImportError("MJXCartpoleBalance requires 'mujoco'.")
         model = mujoco.MjModel.from_xml_string(_CARTPOLE_XML)
-        super().__init__(model, n_substeps=n_substeps, reset_noise=0.05)
+        super().__init__(model, n_substeps=n_substeps, reset_noise=0.05,
+                         impl=impl)
 
     def _obs(self, data: Any) -> jax.Array:
         x, theta = data.qpos[0], data.qpos[1]

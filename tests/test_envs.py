@@ -13,6 +13,7 @@ from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
 from nnx_ppo_tpu.algorithms.ppo import ppo_step
 from nnx_ppo_tpu.algorithms.rollout import unroll_env
 from nnx_ppo_tpu.envs import (
+    MJC_AVAILABLE,
     MJX_AVAILABLE,
     CartpoleBalance,
     JoystickLocomotion,
@@ -172,9 +173,14 @@ class TestClassicRolloutJit:
         assert jnp.all(jnp.isfinite(data.rewards))
 
 
-@pytest.mark.skipif(not MJX_AVAILABLE, reason="mujoco-mjx not installed")
+@pytest.mark.skipif(
+    not (MJX_AVAILABLE or MJC_AVAILABLE),
+    reason="neither mujoco-mjx nor mujoco installed",
+)
 class TestMJX:
     def test_mjx_cartpole_rollout(self):
+        # impl='auto': mjx when installed, else the MuJoCo-C callback
+        # backend — either way the adapter trains end-to-end.
         from nnx_ppo_tpu.envs import MJXCartpoleBalance
 
         env = EpisodeWrapper(MJXCartpoleBalance(), max_len=20)
@@ -185,12 +191,12 @@ class TestMJX:
 
 
 def test_mjx_import_gate():
-    """Without mujoco-mjx, the adapter raises a clear ImportError."""
-    from nnx_ppo_tpu.envs import MJXEnv
+    """Requesting the MJX backend without mujoco-mjx raises clearly."""
+    from nnx_ppo_tpu.envs import MJXCartpoleBalance
 
     if not MJX_AVAILABLE:
         with pytest.raises(ImportError, match="mujoco-mjx"):
-            MJXEnv(None)
+            MJXCartpoleBalance(impl="mjx")
 
 
 def _quadruped_net(key):
