@@ -4,6 +4,7 @@ from nnx_ppo_tpu.parallel.mesh import (
     constrain_batch,
     constrain_time_batch,
     distributed_initialize,
+    global_device_put,
     make_mesh,
     replicated,
     shard_training_state,
@@ -17,6 +18,7 @@ __all__ = [
     "constrain_batch",
     "constrain_time_batch",
     "distributed_initialize",
+    "global_device_put",
     "make_mesh",
     "minibatch_permutations",
     "replicated",

@@ -92,9 +92,34 @@ def training_state_shardings(
     )
 
 
+def global_device_put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """``device_put`` that also works when the mesh spans processes.
+
+    In a multi-process (multi-host) run the sharding covers devices this
+    process cannot address, so ``jax.device_put`` refuses it. Every
+    process holds the same full host value (states/params are built
+    deterministically from the shared seed), so each one materializes
+    just its addressable shards via ``make_array_from_callback``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    ):
+        # Typed PRNG keys have no NumPy form: place the raw key data
+        # (sharding specs only name leading dims, so the extra trailing
+        # key-data dim is unaffected) and re-wrap.
+        placed = global_device_put(jax.random.key_data(x), sharding)
+        return jax.random.wrap_key_data(placed, impl=jax.random.key_impl(x))
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def place_replicated(tree: Any, mesh: Mesh) -> Any:
     """Device-put every leaf replicated on the mesh."""
-    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+    return jax.tree.map(lambda x: global_device_put(x, replicated(mesh)), tree)
 
 
 def place_batched(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
@@ -103,7 +128,7 @@ def place_batched(tree: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
     :func:`training_state_shardings`)."""
     n_shards = mesh.shape[axis_name]
     return jax.tree.map(
-        lambda x: jax.device_put(
+        lambda x: global_device_put(
             x, _batch_leaf_sharding(x, mesh, n_shards, axis_name)
         ),
         tree,
@@ -116,7 +141,7 @@ def shard_training_state(
     """Place a (host or single-device) TrainingState onto the mesh."""
     shardings = training_state_shardings(training_state, mesh, axis_name)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), training_state, shardings
+        lambda x, s: global_device_put(x, s), training_state, shardings
     )
 
 

@@ -1,0 +1,122 @@
+"""Real multi-process bring-up on the CPU backend (VERDICT r2 #8).
+
+The closest this image can get to multi-host DCN: two OS processes,
+each owning 4 virtual CPU devices, joined through
+``jax.distributed.initialize`` (gloo CPU collectives), building ONE
+global 8-device ``data`` mesh and running a real ``ppo_step`` over it.
+Exercises the until-now-dead ``distributed_initialize`` path
+(``parallel/mesh.py``) and the cross-process GSPMD all-reduce.
+
+Reference has no multi-device support at all (SURVEY §2.6); this is
+the TPU-native framework's multi-host story, validated process-for-
+process on CPU.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1]); coord = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=coord, num_processes=2, process_id=proc_id,
+)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+import functools
+import jax.numpy as jnp
+from nnx_ppo_tpu.algorithms import PPOConfig, make_optimizer, new_training_state
+from nnx_ppo_tpu.algorithms.ppo import ppo_step
+from nnx_ppo_tpu.envs import CartpoleBalance
+from nnx_ppo_tpu.networks import make_mlp_actor_critic
+from nnx_ppo_tpu.parallel import make_mesh
+from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+mesh = make_mesh()  # global: spans both processes
+env = EpisodeWrapper(CartpoleBalance(), max_len=100)
+net = make_mlp_actor_critic(
+    env.observation_size, env.action_size, [16], [16], jax.random.key(0)
+)
+cfg = PPOConfig(n_envs=16, rollout_length=4, n_epochs=2, n_minibatches=2)
+opt = make_optimizer(cfg.learning_rate)
+ts = new_training_state(env, net, cfg.n_envs, seed=0, mesh=mesh,
+                        optimizer=opt)
+step = jax.jit(functools.partial(ppo_step, env, config=cfg, optimizer=opt))
+for _ in range(2):
+    ts, metrics = step(ts)
+actor = float(metrics["losses/actor/mean"])
+critic = float(metrics["losses/critic/mean"])
+import math
+assert math.isfinite(actor) and math.isfinite(critic), (actor, critic)
+# Replicated-param checksum: every process must agree bit-for-bit after
+# the cross-process gradient all-reduce.
+leaves = [l for l in jax.tree.leaves(ts.networks)
+          if isinstance(l, jax.Array)
+          and not jax.dtypes.issubdtype(l.dtype, jax.dtypes.prng_key)]
+checksum = float(sum(
+    jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves))
+print(f"RESULT {proc_id} {checksum:.6e} {actor:.6e}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_mesh_ppo_step(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    # The workers set their own platform/flags; drop the suite's.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, checksum, actor = line.split()
+                results[int(pid)] = (checksum, actor)
+    assert set(results) == {0, 1}, f"missing results: {outs}"
+    # Params replicated across processes => identical checksums.
+    assert results[0] == results[1], results
