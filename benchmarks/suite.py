@@ -150,6 +150,7 @@ def _legged_physics(
     height_scan=0,
     randomize=False,
     depthwise=None,
+    substep_impl="auto",
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -203,6 +204,7 @@ def _legged_physics(
             self_collision=self_collision,
             joint_limits=joint_limits,
             depthwise=depthwise,
+            substep_impl=substep_impl,
             **extra,
         ),
         max_len=500,
@@ -306,6 +308,23 @@ CONFIGS = {
     "quadruped_2048_fastM": functools.partial(
         _legged_physics, "quadruped", reuse_mass_matrix=True
     ),
+    # Pallas physics megakernel (physics/pallas_step.py): the whole
+    # fastM substep chain fused into one kernel per env tile —
+    # collapses the ~hundreds of tiny sequential VPU kernels/substep
+    # the XLA path dispatches. 'pallas' forces the kernel (raises if
+    # the model is unsupported); compare against the *_fastM rows.
+    "quadruped_2048_pallas": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        substep_impl="pallas",
+    ),
+    "quadruped_8192_pallas": functools.partial(
+        _legged_physics, "quadruped", n_envs=8192,
+        reuse_mass_matrix=True, substep_impl="pallas",
+    ),
+    "humanoid_2048_pallas": functools.partial(
+        _legged_physics, "humanoid", reuse_mass_matrix=True,
+        substep_impl="pallas",
+    ),
     # Generic (body-sequential) engine pin, for comparing against the
     # depth-wise batched default on supported models.
     "quadruped_2048_fastM_generic": functools.partial(
@@ -357,7 +376,8 @@ CONFIGS = {
 STEPS_PER_CALL = 10
 
 
-def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
+def bench(name: str, warmup: int = 2, iters: int = 10,
+          profile: bool = False) -> dict:
     import jax.numpy as jnp
 
     env, net, config = CONFIGS[name]()
@@ -378,6 +398,17 @@ def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
     s0 = int(ts.steps_taken)  # forced scalar readout = honest barrier
     compile_s = time.perf_counter() - t_compile
 
+    profile_dir = None
+    if profile:
+        # Device trace of the measured iterations (VERDICT round-2
+        # item 3): view with xprof / Perfetto. The trace covers the
+        # same barrier-bounded window the sps number reports.
+        profile_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results", "profiles", name,
+        )
+        os.makedirs(profile_dir, exist_ok=True)
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(iters):
         ts, metrics = step(ts)
@@ -386,6 +417,8 @@ def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
     # return early on tunneled runtimes.
     s1 = int(ts.steps_taken)
     elapsed = time.perf_counter() - t0
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
     assert s1 - s0 == config.n_envs * config.rollout_length * STEPS_PER_CALL * iters
     sps = (s1 - s0) / elapsed
     actor_loss = float(metrics["losses/actor/mean"])
@@ -409,9 +442,11 @@ def bench(name: str, warmup: int = 2, iters: int = 10) -> dict:
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(CONFIGS)
+    argv = sys.argv[1:]
+    profile = "--profile" in argv
+    names = [a for a in argv if not a.startswith("--")] or list(CONFIGS)
     if len(names) == 1:
-        print(json.dumps(bench(names[0])), flush=True)
+        print(json.dumps(bench(names[0], profile=profile)), flush=True)
         return
     # One subprocess per config: live executables/buffers from an earlier
     # config degrade later in-process measurements by 10-50x (observed on
@@ -419,7 +454,10 @@ def main() -> None:
     import subprocess
 
     for name in names:
-        subprocess.run([sys.executable, __file__, name], check=True)
+        cmd = [sys.executable, __file__, name]
+        if profile:
+            cmd.append("--profile")
+        subprocess.run(cmd, check=True)
 
 
 if __name__ == "__main__":

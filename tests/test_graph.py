@@ -291,3 +291,63 @@ class TestFusedSequenceReplay:
         g_step = jax.jit(jax.grad(loss_step))(obs0)
         g_vec = jax.jit(jax.grad(loss_vec))(obs0)
         np.testing.assert_allclose(g_vec, g_step, rtol=1e-5, atol=1e-6)
+
+
+class TestCompileBudget:
+    def test_bench_graph_trace_time_bounded(self):
+        """Trace-size regression gate for the fused graph replay.
+
+        The benchmark suite's ``population_graph`` config once recorded
+        a 561 s warmup on the tunneled TPU; on a local backend the same
+        program traces in ~2 s and compiles in ~12 s (the 561 s was
+        remote-compile RPC overhead, not trace blowup). This pins the
+        trace+lower cost of the FULL fused train program (10 fused PPO
+        steps, n_envs=1024, T=30 — exactly ``benchmarks/suite.py``'s
+        ``_population_graph``) so a future per-edge construction change
+        that explodes the jaxpr fails loudly here instead of surfacing
+        as a 10-minute bench warmup.
+        """
+        import time
+
+        from nnx_ppo_tpu.envs import CartpoleBalance
+        from nnx_ppo_tpu.networks import Flattener, make_mlp
+        from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
+
+        env = EpisodeWrapper(CartpoleBalance(), max_len=500)
+        b = PopulationGraph.builder(key(3))
+        b.add_input("sensor", env.observation_size, input_from="obs")
+        b.add_population("core", 64, activation=jnp.tanh)
+        b.add_output("motor", 2 * env.action_size)
+        b.connect("sensor", "core")
+        b.connect("core", "core", delay=1)
+        b.connect("core", "motor")
+        g = b.finalize()
+        k = jax.random.split(key(4), 3)
+        actor = Sequential.create([
+            Filter.create({"obs": lambda x: x}),
+            g,
+            Filter.create({"motor": "motor"}),
+            Flattener.create(),
+            NormalTanhSampler.create(k[0], entropy_weight=1e-3),
+        ])
+        critic = make_mlp(
+            [env.observation_size, 256, 1], k[1],
+            activation_last_layer=False,
+        )
+        net = PPOAdapter.create(action=actor, value=critic)
+        cfg = PPOConfig(n_envs=1024, rollout_length=30)
+        ts = new_training_state(env, net, cfg.n_envs, seed=0)
+        opt = make_optimizer(cfg.learning_rate)
+        step = jax.jit(
+            functools.partial(
+                ppo_multi_step, env, config=cfg, optimizer=opt, n_steps=10
+            ),
+            donate_argnums=(0,),
+        )
+        t0 = time.perf_counter()
+        step.lower(ts)
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 60.0, (
+            f"fused graph train program took {elapsed:.1f}s to trace+lower "
+            "(budget 60s) — per-edge replay construction likely regressed"
+        )
