@@ -350,6 +350,23 @@ CONFIGS = {
     "humanoid_2048_full": functools.partial(
         _legged_physics, "humanoid", self_collision=True, joint_limits=True
     ),
+    # Full contact feature set on the held (M+dt·D)⁻¹ fast path — the
+    # _full configs above pay a per-substep factorization; these show
+    # the full model at fastM cost (VERDICT r2 item 4 lever).
+    "quadruped_2048_full_fastM": functools.partial(
+        _legged_physics, "quadruped", self_collision=True,
+        joint_limits=True, reuse_mass_matrix=True,
+    ),
+    "humanoid_2048_full_fastM": functools.partial(
+        _legged_physics, "humanoid", self_collision=True,
+        joint_limits=True, reuse_mass_matrix=True,
+    ),
+    # ...and through the Pallas megakernel (pairs/limits/springs are in
+    # the SoA feature set).
+    "quadruped_2048_full_pallas": functools.partial(
+        _legged_physics, "quadruped", self_collision=True,
+        joint_limits=True, reuse_mass_matrix=True, substep_impl="pallas",
+    ),
     # Heightfield ground (physics/terrain.py): per-geom analytic
     # normal/penetration instead of the flat-plane fast path.
     "quadruped_2048_rough": functools.partial(

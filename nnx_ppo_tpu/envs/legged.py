@@ -294,8 +294,9 @@ class LeggedJoystick:
         # an env tile into one Pallas megakernel (physics/pallas_step.py)
         # — ~200 sequential XLA kernels per substep collapse into one
         # program per tile. Requires the fast-path semantics (held
-        # M + dt·D factor) and the SoA feature set (flat ground, no
-        # pairs/limits/springs/DR/terrain/push). 'auto' builds the
+        # M + dt·D factor) and the SoA feature set (free-base hinge
+        # models incl. pairs/limits/springs; flat ground only, no
+        # DR/terrain/push). 'auto' builds the
         # runner when supported and lets it engage on TPU only (the XLA
         # paths win on CPU); 'xla' = never.
         if substep_impl not in ("auto", "xla", "pallas"):

@@ -3,8 +3,10 @@ megakernel (``pallas_step.py``), runnable under plain XLA too.
 
 Implements ONE semi-implicit-Euler substep of the legged-robot fast
 path (``reuse_mass_matrix``): kinematics → velocities → RNEA bias →
-penalty contacts → per-substep PD → back-substitution with a
-PREcomputed Cholesky factor of ``M + dt·D`` → integrate. Every scalar
+penalty contacts (ground + sphere-sphere self-collision pairs) →
+per-substep PD + joint-range limits + joint springs →
+back-substitution with a PREcomputed Cholesky factor of ``M + dt·D``
+→ integrate. Every scalar
 of the computation is a lane array (see ``soa.py``), so the whole
 substep is a single fused chain of elementwise ops — no 3×3/6×6
 batched matmuls, no layout changes, no dynamic-update-slices.
@@ -41,15 +43,6 @@ def soa_unsupported_reason(model: Model) -> "str | None":
         return "SoA substep supports free-base models only"
     if not all(t in (FREE, HINGE) for t in model.joint_type):
         return "SoA substep supports hinge joints only"
-    if model.pair_geom_a:
-        return "SoA substep does not implement sphere-sphere collision pairs"
-    if model.joint_lower.size > 0 and (
-        np.isfinite(model.joint_lower).any()
-        or np.isfinite(model.joint_upper).any()
-    ):
-        return "SoA substep does not implement joint-range limits"
-    if model.spring_stiffness.size > 0 and (model.spring_stiffness > 0).any():
-        return "SoA substep does not implement joint springs"
     return None
 
 
@@ -73,20 +66,6 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
         "SoA substep supports hinge joints only; use engine.step for "
         "slide/ball-joint models"
     )
-    # Feature guard: the SoA body implements ground contacts only. A
-    # model with joint limits or collision pairs would pass the
-    # joint-type check but silently lose those forces — refuse instead
-    # of diverging from the generic engine.
-    assert not model.pair_geom_a, (
-        "SoA substep does not implement sphere-sphere collision pairs"
-    )
-    assert model.joint_lower.size == 0 or not (
-        np.isfinite(model.joint_lower).any()
-        or np.isfinite(model.joint_upper).any()
-    ), "SoA substep does not implement joint-range limits"
-    assert model.spring_stiffness.size == 0 or not (
-        model.spring_stiffness > 0
-    ).any(), "SoA substep does not implement joint springs"
     NB = model.n_bodies
     nj = model.nj
     nv = model.nv
@@ -204,8 +183,12 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
             ),
             0.0,
         )
+        if np.isfinite(model.max_contact_force):
+            fn = jnp.minimum(fn, model.max_contact_force)
         vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2 + 1e-6)
-        scale = -model.friction * fn / jnp.maximum(vt_norm, 0.1)
+        scale = -model.friction * fn / jnp.maximum(
+            vt_norm, model.friction_vel
+        )
         f_w = (scale * v_pt[0], scale * v_pt[1], fn)
         normals.append(fn)
         f_b = soa.m3T_vec(E_b, f_w)
@@ -214,6 +197,60 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
         # external forces SUBTRACT from f): rhs = tau + tau_c - C.
         # Keep separate accumulation to mirror the engine exactly.
         f[b] = tuple(f[b][k] - f_sp[k] for k in range(6))
+
+    # ---- sphere-sphere collision pairs (static list) ----
+    # Same spring-damper normal + smooth-Coulomb friction as the ground
+    # contacts, equal-and-opposite at the midpoint of the penetration
+    # axis (momentum-conserving) — the lane form of
+    # ``engine.sphere_pair_force``. Normals are appended after the
+    # ground-geom normals, matching the generic engine's output layout.
+    for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
+        ba, bb = int(model.geom_body[ga]), int(model.geom_body[gb])
+        ra = float(model.geom_radius[ga])
+        rb = float(model.geom_radius[gb])
+        xa = soa.v3_add(
+            P[ba], soa.m3_vec(E[ba], _const3(model.geom_offset[ga]))
+        )
+        xb = soa.v3_add(
+            P[bb], soa.m3_vec(E[bb], _const3(model.geom_offset[gb]))
+        )
+        d = soa.v3_sub(xb, xa)
+        dist = jnp.sqrt(soa.v3_dot(d, d) + 1e-12)
+        n = soa.v3_scale(1.0 / dist, d)  # contact normal, a → b
+        phi = ra + rb - dist
+        c_w = soa.v3_add(xa, soa.v3_scale(ra - 0.5 * phi, n))
+
+        def _point_vel(b, c):
+            r_loc = soa.m3T_vec(E[b], soa.v3_sub(c, P[b]))
+            wb, lb = soa.sp_ang(v[b]), soa.sp_lin(v[b])
+            return soa.m3_vec(
+                E[b], soa.v3_add(lb, soa.v3_cross(wb, r_loc))
+            )
+
+        v_rel = soa.v3_sub(_point_vel(bb, c_w), _point_vel(ba, c_w))
+        sep = soa.v3_dot(n, v_rel)  # separation rate (= -φ̇)
+        fn = jnp.where(
+            phi > 0.0,
+            jnp.maximum(
+                0.0,
+                model.contact_stiffness * phi - model.contact_damping * sep,
+            ),
+            0.0,
+        )
+        if np.isfinite(model.max_contact_force):
+            fn = jnp.minimum(fn, model.max_contact_force)
+        vt = soa.v3_sub(v_rel, soa.v3_scale(sep, n))
+        vt_norm = jnp.sqrt(soa.v3_dot(vt, vt) + 1e-6)
+        ft_scale = -model.friction * fn / jnp.maximum(
+            vt_norm, model.friction_vel
+        )
+        f_w = soa.v3_add(soa.v3_scale(fn, n), soa.v3_scale(ft_scale, vt))
+        normals.append(fn)
+        for b, sign in ((bb, 1.0), (ba, -1.0)):
+            r_loc = soa.m3T_vec(E[b], soa.v3_sub(c_w, P[b]))
+            f_b = soa.m3T_vec(E[b], soa.v3_scale(sign, f_w))
+            f_sp = soa.sp(soa.v3_cross(r_loc, f_b), f_b)
+            f[b] = tuple(f[b][k] - f_sp[k] for k in range(6))
 
     # ---- backward pass: generalized bias (incl. contacts) ----
     per_dof = [None] * NB
@@ -240,6 +277,34 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
     rhs = [-C[k] for k in range(6)]
     for j in range(nj):
         rhs.append(kp * (target[j] - jq[j]) - C[6 + j])
+
+    # ---- joint-range limits (lane form of engine.limit_torques) ----
+    # Spring-damper on the violation, damping active only while
+    # violating; applied AFTER the PD/bias assembly and BEFORE springs,
+    # matching the rhs addition order of ``engine.forward_dynamics``.
+    if model.joint_lower.size > 0:
+        for j in range(nj):
+            lo = float(model.joint_lower[6 + j])
+            hi = float(model.joint_upper[6 + j])
+            if not (np.isfinite(lo) or np.isfinite(hi)):
+                continue
+            q_j, qd_j = jq[j], jd[j]
+            below = jnp.maximum(lo - q_j, 0.0) if np.isfinite(lo) else 0.0
+            above = jnp.maximum(q_j - hi, 0.0) if np.isfinite(hi) else 0.0
+            violating = ((below + above) > 0.0).astype(q_j.dtype)
+            rhs[6 + j] = rhs[6 + j] + (
+                model.limit_stiffness * (below - above)
+                - model.limit_damping * violating * qd_j
+            )
+
+    # ---- passive joint springs (lane form of engine.spring_torques) --
+    if model.spring_stiffness.size > 0:
+        for j in range(nj):
+            k_s = float(model.spring_stiffness[6 + j])
+            if k_s <= 0.0:
+                continue
+            ref = float(model.spring_ref[6 + j])
+            rhs[6 + j] = rhs[6 + j] - k_s * (jq[j] - ref)
 
     # ---- back-substitution with the held factor ----
     ys = []

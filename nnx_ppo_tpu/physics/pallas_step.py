@@ -68,7 +68,9 @@ def pallas_substeps(
 
     B = qpos.shape[0]
     nq, nv, nj = model.nq, model.nv, model.nj
-    n_geoms = len(model.geom_body)
+    # Normals output: ground-geom normals first, then the collision
+    # pairs in declaration order (the generic engine's layout).
+    n_geoms = len(model.geom_body) + len(model.pair_geom_a)
     if B % tile != 0:
         raise ValueError(f"batch {B} not divisible by tile {tile}")
     if n_substeps % substeps_per_kernel != 0:
@@ -160,7 +162,7 @@ def make_substep_runner(
     from jax.custom_batching import custom_vmap
 
     nq, nv, nj = model.nq, model.nv, model.nj
-    n_geoms = len(model.geom_body)
+    n_geoms = len(model.geom_body) + len(model.pair_geom_a)
 
     def run_one(qpos, qvel, target, chol):
         qp = tuple(qpos[k] for k in range(nq))

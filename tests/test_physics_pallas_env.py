@@ -19,17 +19,23 @@ def _batched_states(env, batch: int, key):
     return jax.vmap(env.reset)(jax.random.split(key, batch))
 
 
-def test_env_pallas_matches_xla_fast_path():
+@pytest.mark.parametrize(
+    "features",
+    [dict(), dict(self_collision=True, joint_limits=True)],
+    ids=["base", "full"],
+)
+def test_env_pallas_matches_xla_fast_path(features):
     # n_substeps trimmed from the 10-substep default: interpret-mode
     # Pallas executes lane-by-lane on the host, and 3 substeps already
     # cross the contact/swing regimes the parity needs to cover.
     B, T = 8, 3
     ref_env = QuadrupedJoystick(
         reuse_mass_matrix=True, depthwise=False, substep_impl="xla",
-        n_substeps=3,
+        n_substeps=3, **features,
     )
     pl_env = QuadrupedJoystick(
         reuse_mass_matrix=True, substep_impl="pallas", n_substeps=3,
+        **features,
     )
     key = jax.random.key(0)
     ref_state = _batched_states(ref_env, B, key)
@@ -88,8 +94,6 @@ def test_env_pallas_unbatched_step():
     "kwargs,match",
     [
         (dict(), "reuse_mass_matrix"),
-        (dict(reuse_mass_matrix=True, joint_limits=True), "joint-range"),
-        (dict(reuse_mass_matrix=True, self_collision=True), "collision pairs"),
         (
             dict(reuse_mass_matrix=True, randomize="DR"),
             "DR overrides",
@@ -110,8 +114,18 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
     does not engage it off-TPU (the depthwise XLA path wins on CPU)."""
     env = QuadrupedJoystick(reuse_mass_matrix=True)  # substep_impl='auto'
     assert env._substep_runner is not None
+    # The full contact feature set is in the SoA kernel's scope too.
+    env_full = QuadrupedJoystick(
+        reuse_mass_matrix=True, joint_limits=True, self_collision=True
+    )
+    assert env_full._substep_runner is not None
     # Unsupported configs quietly keep the XLA path under 'auto'.
-    env2 = QuadrupedJoystick(reuse_mass_matrix=True, joint_limits=True)
+    from nnx_ppo_tpu.physics import DomainRandomization
+
+    env2 = QuadrupedJoystick(
+        reuse_mass_matrix=True,
+        randomize=DomainRandomization(mass_scale=(0.9, 1.1)),
+    )
     assert env2._substep_runner is None
     # Off-TPU, a step through 'auto' must take the XLA path and stay
     # finite (dispatch is trace-time on jax.default_backend()).

@@ -114,22 +114,138 @@ def test_pallas_kernel_interpret_matches_soa():
     assert np.asarray(pnormals).max() > 0.0
 
 
-def test_soa_refuses_unsupported_contact_features():
-    """The SoA body implements ground contacts only; a model with joint
-    limits or collision pairs must be refused, not silently diverge from
-    the generic engine."""
-    model = make_quadruped(joint_limits=True)
-    qpos = jnp.asarray(qd.default_qpos(model))
-    args = (
-        tuple(qpos),
-        tuple(jnp.zeros(model.nv)),
-        tuple(qpos[7:]),
-        None,
-        60.0,
-        2e-3,
+def test_soa_refuses_unsupported_joint_types():
+    """The SoA body supports free-base all-hinge trees; ball/slide-joint
+    models must be refused, not silently diverge from the generic
+    engine. (Limits, springs, and collision pairs ARE implemented —
+    exactness covered by ``test_soa_full_features_match_generic``.)"""
+    from nnx_ppo_tpu.physics.engine_soa import soa_unsupported_reason
+    from nnx_ppo_tpu.physics.models.arm import make_arm
+
+    model = make_arm()  # ball shoulder joint, fixed base
+    assert soa_unsupported_reason(model) is not None
+    qpos = jnp.zeros(model.nq)
+    with pytest.raises(AssertionError):
+        substep_soa(
+            model,
+            tuple(qpos),
+            tuple(jnp.zeros(model.nv)),
+            tuple(qpos[: model.nj]),
+            None,
+            60.0,
+            2e-3,
+        )
+    # The full legged feature set is supported.
+    assert soa_unsupported_reason(
+        make_quadruped(self_collision=True, joint_limits=True)
+    ) is None
+
+
+def test_soa_full_features_match_generic():
+    """Joint limits, joint springs, and self-collision pairs in the SoA
+    substep must reproduce the generic engine's fast path (single
+    substep: exact same held-factor semantics, no drift accumulation).
+
+    Uses a deep-crouch pose (joints pushed past the Go1-like range
+    stops, feet near each other) so limits AND pairs carry force, plus
+    synthetic joint springs via ``dataclasses.replace``."""
+    import dataclasses
+
+    model = make_quadruped(self_collision=True, joint_limits=True)
+    spring_k = np.zeros(model.nv, np.float32)
+    spring_ref = np.zeros(model.nv, np.float32)
+    spring_k[7:10] = 25.0  # three dofs get passive springs
+    spring_ref[7:10] = 0.3
+    model = dataclasses.replace(
+        model, spring_stiffness=spring_k, spring_ref=spring_ref,
+        friction_vel=0.25, max_contact_force=150.0,
     )
-    with pytest.raises(AssertionError, match="joint-range limits"):
-        substep_soa(model, *args)
-    model = make_quadruped(self_collision=True)
-    with pytest.raises(AssertionError, match="collision pairs"):
-        substep_soa(model, *args)
+
+    B, dt, kp = 8, 0.002, 60.0
+    k1, k2 = jax.random.split(jax.random.key(7))
+    base = jnp.asarray(qd.default_qpos(model))
+    qpos = jnp.tile(base, (B, 1))
+    # Large joint perturbations: push past the range stops and bring
+    # the feet close enough for pair penetration in some envs.
+    qpos = qpos.at[:, 7:].add(0.6 * jax.random.normal(k1, (B, model.nj)))
+    qpos = qpos.at[:, 2].add(-0.05)
+    qvel = 0.5 * jax.random.normal(k2, (B, model.nv))
+    target = qpos[:, 7:]
+
+    ref_qp, ref_qv = jax.jit(
+        lambda a, b, c: reference_substeps(model, a, b, c, kp, dt, 1)
+    )(qpos, qvel, target)
+    soa_qp, soa_qv = jax.jit(
+        lambda a, b, c: soa_substeps(model, a, b, c, kp, dt, 1)
+    )(qpos, qvel, target)
+
+    np.testing.assert_allclose(
+        np.asarray(soa_qp), np.asarray(ref_qp), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(soa_qv), np.asarray(ref_qv), rtol=2e-4, atol=2e-4
+    )
+
+    # The test must actually exercise the new force paths: rerun the
+    # generic engine and check limit/pair forces are nonzero somewhere.
+    from nnx_ppo_tpu.physics.engine import limit_torques
+
+    tau_l = jax.vmap(lambda qp, qv: limit_torques(model, qp, qv))(
+        qpos, qvel
+    )
+    assert float(jnp.abs(tau_l).max()) > 0.0, "no limit violation sampled"
+
+    def last_normals(qp, qv, tgt):
+        chol = mass_matrix_factor(model, qp, dt=dt)
+        tau = jnp.concatenate([jnp.zeros(6), kp * (tgt - qp[7:])])
+        _, normals = forward_dynamics(model, qp, qv, tau, dt=dt, chol=chol)
+        return normals
+
+    normals = jax.vmap(last_normals)(qpos, qvel, target)
+    n_ground = len(model.geom_body)
+    assert normals.shape[1] == n_ground + len(model.pair_geom_a)
+    # SoA normals must match the generic layout and values.
+    nv = model.nv
+    qp_t = tuple(qpos[:, k] for k in range(qpos.shape[1]))
+    qv_t = tuple(qvel[:, k] for k in range(nv))
+    tgt_t = tuple(target[:, k] for k in range(target.shape[1]))
+    chol_m = jax.vmap(lambda q: mass_matrix_factor(model, q, dt=dt))(qpos)
+    chol_t = tuple(
+        tuple(chol_m[:, i, j] for j in range(i + 1)) for i in range(nv)
+    )
+    _, _, soa_normals = substep_soa(model, qp_t, qv_t, tgt_t, chol_t, kp, dt)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(soa_normals, axis=1)),
+        np.asarray(normals),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pallas_kernel_interpret_full_features():
+    """The Pallas kernel plumbing must carry the extended normals layout
+    (ground + pairs) and match the SoA path on the full-feature model."""
+    from nnx_ppo_tpu.physics.pallas_step import pallas_substeps
+
+    model = make_quadruped(self_collision=True, joint_limits=True)
+    B, dt, n_sub, kp = 128, 0.002, 2, 60.0
+    k1, k2 = jax.random.split(jax.random.key(3))
+    base = jnp.asarray(qd.default_qpos(model))
+    qpos = jnp.tile(base, (B, 1)).at[:, 7:].add(
+        0.5 * jax.random.normal(k1, (B, model.nj))
+    )
+    qvel = 0.3 * jax.random.normal(k2, (B, model.nv))
+    target = qpos[:, 7:]
+    chol = jax.vmap(lambda q: mass_matrix_factor(model, q, dt=dt))(qpos)
+
+    ref_qp, ref_qv = soa_substeps(model, qpos, qvel, target, kp, dt, n_sub)
+    pq, pv, pnormals = pallas_substeps(
+        model, qpos, qvel, target, chol, kp, dt, n_sub,
+        tile=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(pq), np.asarray(ref_qp),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(ref_qv),
+                               rtol=2e-3, atol=2e-3)
+    assert pnormals.shape == (
+        B, len(model.geom_body) + len(model.pair_geom_a)
+    )
