@@ -63,6 +63,20 @@ def _mlp_cartpole(compute_dtype=None):
     return env, net, PPOConfig(n_envs=1024, rollout_length=30)
 
 
+def _mlp_wide(compute_dtype="bfloat16", n_envs=8192):
+    # MXU-saturation config: the analytic flagship env with production-
+    # scale MLPs (actor 4x1024, critic 2x2048) so the train step is
+    # matmul-dominated rather than dispatch/latency-bound — the config
+    # whose MFU (benchmarks/roofline.py) measures TPU compute
+    # utilization instead of framework overhead.
+    env = EpisodeWrapper(CartpoleBalance(), max_len=500)
+    net = make_mlp_actor_critic(
+        env.observation_size, env.action_size, [1024] * 4, [2048] * 2,
+        jax.random.key(0), entropy_weight=1e-3, compute_dtype=compute_dtype,
+    )
+    return env, net, PPOConfig(n_envs=n_envs, rollout_length=20)
+
+
 def _gru_cartpole():
     env = EpisodeWrapper(CartpoleBalance(), max_len=500)
     k = jax.random.split(jax.random.key(0), 6)
@@ -297,6 +311,8 @@ def _population_graph():
 CONFIGS = {
     "cartpole_mlp": _mlp_cartpole,
     "cartpole_mlp_bf16": functools.partial(_mlp_cartpole, compute_dtype="bfloat16"),
+    "mlp_wide_bf16_8192": _mlp_wide,
+    "mlp_wide_f32_8192": functools.partial(_mlp_wide, compute_dtype=None),
     "cartpole_gru": _gru_cartpole,
     "dict_obs_multistream": _dict_obs_multistream,
     "locomotion_4096": _locomotion_4096,

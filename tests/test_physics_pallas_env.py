@@ -21,7 +21,14 @@ def _batched_states(env, batch: int, key):
 
 @pytest.mark.parametrize(
     "features",
-    [dict(), dict(self_collision=True, joint_limits=True)],
+    [
+        dict(),
+        pytest.param(
+            dict(self_collision=True, joint_limits=True),
+            marks=pytest.mark.slow,  # second interpret-mode run; the
+            # full-feature exactness gate lives in test_physics_soa
+        ),
+    ],
     ids=["base", "full"],
 )
 def test_env_pallas_matches_xla_fast_path(features):

@@ -221,6 +221,7 @@ def test_soa_full_features_match_generic():
     )
 
 
+@pytest.mark.slow  # interpret-mode Pallas executes lane-by-lane on host
 def test_pallas_kernel_interpret_full_features():
     """The Pallas kernel plumbing must carry the extended normals layout
     (ground + pairs) and match the SoA path on the full-feature model."""
