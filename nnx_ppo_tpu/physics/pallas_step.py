@@ -132,10 +132,37 @@ def pallas_substeps(
     return qpos_t.T, qvel_t.T, normals_t.T
 
 
-def _pick_tile(B: int) -> "int | None":
-    for tile in (512, 256, 128):
-        if B % tile == 0:
-            return tile
+def _pick_tile(B: int, model: "Model | None" = None) -> "int | None":
+    """Largest lane tile that divides the batch and fits VMEM.
+
+    Each SoA lane instruction processes ``tile`` f32 elements; a v5e
+    vreg holds 1024, so tile=256 leaves 3/4 of every VPU instruction
+    empty. Prefer the largest tile whose resident lane set fits in a
+    conservative VMEM budget: inputs/outputs (nq+nv+nj+packed-chol+
+    normals lanes) plus ~3x headroom for the substep's live
+    intermediates (kinematics E/P per body, spatial vectors), which is
+    what Mosaic keeps resident between def and last use.
+    """
+    budget = 64 * 2**20  # half of v5e's 128 MiB VMEM
+    # 2048 capped: the VMEM estimate below is a heuristic and Mosaic
+    # failures are only observable on real hardware — 2048 already puts
+    # 2 full vregs behind every lane instruction (vs 1/4 at 256).
+    for tile in (2048, 1024, 512, 256, 128):
+        if B % tile != 0:
+            continue
+        if model is not None:
+            nv = model.nv
+            io_lanes = (
+                model.nq + nv + model.nj
+                + nv * (nv + 1) // 2
+                + len(model.geom_body) + len(model.pair_geom_a)
+            )
+            # ~15 lanes per body for E(9)+P(3)+v(6)/f(6) live sets,
+            # tripled for elementwise temporaries.
+            live = io_lanes + 15 * model.n_bodies * 3
+            if live * tile * 4 > budget:
+                continue
+        return tile
     return None
 
 
@@ -198,7 +225,7 @@ def make_substep_runner(
         chol = ensure(chol, in_batched[3])
 
         on_tpu = jax.default_backend() == "tpu"
-        tile = _pick_tile(axis_size) if on_tpu else axis_size
+        tile = _pick_tile(axis_size, model) if on_tpu else axis_size
         if force_pallas or (on_tpu and tile is not None):
             out = pallas_substeps(
                 model, qpos, qvel, target, chol, kp, dt, n_substeps,

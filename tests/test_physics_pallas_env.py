@@ -139,3 +139,17 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
     state = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), 4))
     nxt = jax.jit(jax.vmap(env.step))(state, jnp.zeros((4, env.action_size)))
     assert jnp.isfinite(nxt.data["qpos"]).all()
+
+
+def test_pick_tile_prefers_large_lanes():
+    """Lane-tile selection: largest divisor under the VMEM estimate —
+    tile=256 puts only a quarter vreg behind each of the kernel's ~30k
+    lane instructions; production batches should get >= 1024."""
+    from nnx_ppo_tpu.physics.pallas_step import _pick_tile
+    from nnx_ppo_tpu.physics.models import make_humanoid, make_quadruped
+
+    q, h = make_quadruped(), make_humanoid()
+    assert _pick_tile(2048, q) == 2048
+    assert _pick_tile(8192, h) == 2048
+    assert _pick_tile(128, q) == 128
+    assert _pick_tile(100, q) is None  # not lane-divisible
