@@ -633,56 +633,104 @@ def forward_dynamics_dw(
         K = len(plan.levels[li].bodies)
         f[li] = f[li] - jax.ops.segment_sum(f_sp, slot, num_segments=K)
 
-    # Sphere-sphere collision pairs (explicit static list): same
-    # per-pair math as the generic engine — equal-and-opposite at one
-    # world point, momentum-conserving — using level-gathered poses.
+    # Sphere-sphere collision pairs (explicit static list): same math
+    # as the generic engine — equal-and-opposite at one world point,
+    # momentum-conserving — but BATCHED over all P pairs at once. The
+    # per-pair loop emitted ~40 tiny kernels per pair per substep;
+    # batched, the cost is ~40 ops independent of P (the suite's
+    # dispatch-bound *_full rows motivated this — see
+    # docs/performance.md roofline analysis).
     if model.pair_geom_a:
         smap = plan.slot_map
+        K_of = [len(lvl.bodies) for lvl in plan.levels]
+        lvl_offset = np.cumsum([0] + K_of)
+        # Flat (level-concatenated) pose/velocity tables: one concat
+        # each, then every pair endpoint is a single static gather row.
+        E_all = jnp.concatenate(E, axis=0)  # [sumK, 3, 3]
+        p_all = jnp.concatenate(p, axis=0)  # [sumK, 3]
+        v_all = jnp.concatenate(v, axis=0)  # [sumK, 6]
 
-        def geom_data(g: int):
-            li, s = smap[int(model.geom_body[g])]
-            return li, s, E[li][s], p[li][s], v[li][s]
-
-        def point_vel(E_b, v_b, r_local):
-            w_b, l_b = v_b[:3], v_b[3:]
-            return E_b @ (l_b + jnp.cross(w_b, r_local))
-
-        pair_normals = []
-        for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
-            la, sa, E_a, p_a, v_a = geom_data(ga)
-            lb, sb, E_b, p_b, v_b = geom_data(gb)
-            xa = p_a + E_a @ jnp.asarray(model.geom_offset[ga], jnp.float32)
-            xb = p_b + E_b @ jnp.asarray(model.geom_offset[gb], jnp.float32)
-            f_w, c_w, fn = _engine.sphere_pair_force(
-                xa,
-                xb,
-                jnp.float32(model.geom_radius[ga]),
-                jnp.float32(model.geom_radius[gb]),
-                stiffness=model.contact_stiffness,
-                damping=model.contact_damping,
-                friction=friction,
-                friction_vel=model.friction_vel,
-                max_force=model.max_contact_force,
-                va_fn=lambda c, E_=E_a, p_=p_a, v_=v_a: point_vel(
-                    E_, v_, E_.T @ (c - p_)
+        def side(geoms):
+            flat, lvls = [], []
+            for g in geoms:
+                li, s = smap[int(model.geom_body[g])]
+                flat.append(lvl_offset[li] + s)
+                lvls.append(li)
+            return (
+                jnp.asarray(np.array(flat, np.int32)),
+                np.array(lvls, np.int32),
+                np.array(flat, np.int64),
+                jnp.asarray(
+                    np.stack([model.geom_offset[g] for g in geoms])
+                    .astype(np.float32)
                 ),
-                vb_fn=lambda c, E_=E_b, p_=p_b, v_=v_b: point_vel(
-                    E_, v_, E_.T @ (c - p_)
+                np.array(
+                    [model.geom_radius[g] for g in geoms], np.float32
                 ),
             )
-            pair_normals.append(fn)
-            for li, s, E_g, p_g, sign in (
-                (lb, sb, E_b, p_b, 1.0),
-                (la, sa, E_a, p_a, -1.0),
-            ):
-                r_local = E_g.T @ (c_w - p_g)
-                f_b_ = E_g.T @ (sign * f_w)
-                f_sp = jnp.concatenate(
-                    [jnp.cross(r_local, f_b_), f_b_]
-                )
-                f[li] = f[li].at[s].add(-f_sp)
+
+        ia, lvl_a, flat_a, off_a, rad_a = side(model.pair_geom_a)
+        ib, lvl_b, flat_b, off_b, rad_b = side(model.pair_geom_b)
+        E_a, p_a, v_a = E_all[ia], p_all[ia], v_all[ia]
+        E_b, p_b, v_b = E_all[ib], p_all[ib], v_all[ib]
+        xa = p_a + _mv(E_a, off_a)  # [P, 3] world centers
+        xb = p_b + _mv(E_b, off_b)
+        d = xb - xa
+        dist = jnp.sqrt(jnp.sum(d**2, -1) + 1e-12)
+        n = d / dist[:, None]  # contact normal, a → b
+        phi = (rad_a + rad_b) - dist
+        c_w = xa + n * (rad_a - 0.5 * phi)[:, None]
+
+        def point_vel(E_g, p_g, v_g):
+            r_loc = _mtv(E_g, c_w - p_g)
+            w_g, l_g = v_g[:, :3], v_g[:, 3:]
+            return _mv(E_g, l_g + jnp.cross(w_g, r_loc))
+
+        v_rel = point_vel(E_b, p_b, v_b) - point_vel(E_a, p_a, v_a)
+        sep = jnp.sum(n * v_rel, -1)  # separation rate (= -φ̇)
+        fn = jnp.where(
+            phi > 0.0,
+            jnp.maximum(
+                0.0,
+                model.contact_stiffness * phi - model.contact_damping * sep,
+            ),
+            0.0,
+        )
+        if np.isfinite(model.max_contact_force):
+            fn = jnp.minimum(fn, model.max_contact_force)
+        vt = v_rel - sep[:, None] * n
+        vt_norm = jnp.sqrt(jnp.sum(vt**2, -1) + 1e-6)
+        ft = (
+            -friction * fn / jnp.maximum(vt_norm, model.friction_vel)
+        )[:, None] * vt
+        f_w = fn[:, None] * n + ft  # [P, 3] on body b; a gets -f_w
+        pair_normals = fn
+
+        f_sp_sides = []
+        for E_g, p_g, sign in ((E_b, p_b, 1.0), (E_a, p_a, -1.0)):
+            r_loc = _mtv(E_g, c_w - p_g)
+            f_bd = _mtv(E_g, sign * f_w)
+            f_sp_sides.append(
+                jnp.concatenate([jnp.cross(r_loc, f_bd), f_bd], axis=-1)
+            )
+        f_sp_all = jnp.concatenate(f_sp_sides, axis=0)  # [2P, 6]
+        ep_lvl = np.concatenate([lvl_b, lvl_a])
+        ep_flat = np.concatenate([flat_b, flat_a])
+        for li in range(len(plan.levels)):
+            in_lvl = ep_lvl == li
+            if not in_lvl.any():
+                continue
+            # Out-of-level rows masked to zero and routed to slot 0 —
+            # no reliance on scatter drop semantics.
+            ids = jnp.asarray(
+                np.where(in_lvl, ep_flat - lvl_offset[li], 0).astype(np.int32)
+            )
+            mask = jnp.asarray(in_lvl.astype(np.float32))[:, None]
+            f[li] = f[li] - jax.ops.segment_sum(
+                f_sp_all * mask, ids, num_segments=K_of[li]
+            )
     else:
-        pair_normals = []
+        pair_normals = None
 
     # External world-frame point forces [(body, point_world, f_world)].
     if external_forces:
@@ -730,10 +778,10 @@ def forward_dynamics_dw(
         ]
     else:
         all_normals = jnp.zeros((0,))
-    if pair_normals:
+    if pair_normals is not None:
         # Same output layout as the generic engine: the NG ground
         # normals first, then the pairs in declaration order.
-        all_normals = jnp.concatenate([all_normals, jnp.stack(pair_normals)])
+        all_normals = jnp.concatenate([all_normals, pair_normals])
 
     if minv is not None:
         return minv @ rhs, all_normals
