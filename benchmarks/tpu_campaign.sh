@@ -20,7 +20,7 @@ probe() {
 import jax, jax.numpy as jnp
 jax.jit(lambda x: x * 2 + 1)(jnp.ones((8, 128))).block_until_ready()
 d = jax.devices()[0]
-assert d.platform == 'axon', d.platform
+assert d.platform != 'cpu', d.platform
 print('MEASURABLE')
 " 2>/dev/null | grep -q MEASURABLE
 }
