@@ -165,6 +165,7 @@ def _legged_physics(
     randomize=False,
     depthwise=None,
     substep_impl="auto",
+    pallas_substeps_per_kernel=1,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -219,6 +220,7 @@ def _legged_physics(
             joint_limits=joint_limits,
             depthwise=depthwise,
             substep_impl=substep_impl,
+            pallas_substeps_per_kernel=pallas_substeps_per_kernel,
             **extra,
         ),
         max_len=500,
@@ -340,6 +342,23 @@ CONFIGS = {
     "humanoid_2048_pallas": functools.partial(
         _legged_physics, "humanoid", reuse_mass_matrix=True,
         substep_impl="pallas",
+    ),
+    # Fully-fused variant: ALL substeps of a control step unrolled
+    # inside ONE Pallas launch (intermediates VMEM-resident across
+    # substeps, one dispatch per control step). Separate configs
+    # because the 10x-larger Mosaic program is the known compile risk.
+    "quadruped_2048_pallas_fused": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        substep_impl="pallas", pallas_substeps_per_kernel=-1,
+    ),
+    "quadruped_8192_pallas_fused": functools.partial(
+        _legged_physics, "quadruped", n_envs=8192,
+        reuse_mass_matrix=True, substep_impl="pallas",
+        pallas_substeps_per_kernel=-1,
+    ),
+    "humanoid_2048_pallas_fused": functools.partial(
+        _legged_physics, "humanoid", reuse_mass_matrix=True,
+        substep_impl="pallas", pallas_substeps_per_kernel=-1,
     ),
     # Generic (body-sequential) engine pin, for comparing against the
     # depth-wise batched default on supported models.

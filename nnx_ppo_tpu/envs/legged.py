@@ -197,6 +197,7 @@ class LeggedJoystick:
         push_force: float = 0.0,
         depthwise: bool | None = None,
         substep_impl: str = "auto",
+        pallas_substeps_per_kernel: int = 1,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -322,9 +323,17 @@ class LeggedJoystick:
             if reason is None and push_force > 0.0:
                 reason = "SoA substep does not apply external push forces"
             if reason is None:
+                # substeps_per_kernel > 1 unrolls that many substeps
+                # INSIDE one Pallas launch (0/-1 = all of them): a
+                # control step becomes n_substeps/k kernel dispatches
+                # with all intermediates VMEM-resident across substeps.
+                # Kept a knob (default 1) because the larger Mosaic
+                # program has historically wedged one remote-compile
+                # toolchain (docs/physics.md).
                 self._substep_runner = make_substep_runner(
                     model, kp, self.physics_dt, n_substeps,
                     force_pallas=(substep_impl == "pallas"),
+                    substeps_per_kernel=pallas_substeps_per_kernel,
                 )
             elif substep_impl == "pallas":
                 raise ValueError(f"substep_impl='pallas' unsupported: {reason}")

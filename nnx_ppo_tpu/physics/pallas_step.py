@@ -172,6 +172,7 @@ def make_substep_runner(
     dt: float,
     n_substeps: int,
     force_pallas: bool = False,
+    substeps_per_kernel: int = 1,
 ):
     """Per-env substep function whose BATCHED execution is the Pallas
     megakernel.
@@ -190,6 +191,13 @@ def make_substep_runner(
 
     nq, nv, nj = model.nq, model.nv, model.nj
     n_geoms = len(model.geom_body) + len(model.pair_geom_a)
+    if substeps_per_kernel in (0, -1):
+        substeps_per_kernel = n_substeps
+    if n_substeps % substeps_per_kernel != 0:
+        raise ValueError(
+            f"n_substeps ({n_substeps}) must be a multiple of "
+            f"substeps_per_kernel ({substeps_per_kernel})"
+        )
 
     def run_one(qpos, qvel, target, chol):
         qp = tuple(qpos[k] for k in range(nq))
@@ -231,6 +239,7 @@ def make_substep_runner(
                 model, qpos, qvel, target, chol, kp, dt, n_substeps,
                 tile=tile if tile is not None else axis_size,
                 interpret=not on_tpu,
+                substeps_per_kernel=substeps_per_kernel,
             )
         else:
             out = jax.vmap(run_one)(qpos, qvel, target, chol)

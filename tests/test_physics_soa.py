@@ -250,3 +250,50 @@ def test_pallas_kernel_interpret_full_features():
     assert pnormals.shape == (
         B, len(model.geom_body) + len(model.pair_geom_a)
     )
+
+
+@pytest.mark.slow  # interpret-mode Pallas executes lane-by-lane on host
+def test_pallas_fused_substeps_match_per_substep_launch():
+    """``substeps_per_kernel`` must be pure launch batching: running all
+    substeps inside one kernel launch (the fused-dispatch variant) must
+    reproduce the per-substep-launch trajectory. Not bitwise — the
+    compiler contracts FMAs differently when the substeps are one
+    program — but to the same tolerance as the engine exactness gates."""
+    from nnx_ppo_tpu.physics.pallas_step import pallas_substeps
+
+    model = make_quadruped(self_collision=True, joint_limits=True)
+    B, dt, n_sub, kp = 128, 0.002, 4, 60.0
+    k1, k2 = jax.random.split(jax.random.key(7))
+    base = jnp.asarray(qd.default_qpos(model))
+    qpos = jnp.tile(base, (B, 1)).at[:, 7:].add(
+        0.3 * jax.random.normal(k1, (B, model.nj))
+    )
+    qvel = 0.3 * jax.random.normal(k2, (B, model.nv))
+    target = qpos[:, 7:]
+    chol = jax.vmap(lambda q: mass_matrix_factor(model, q, dt=dt))(qpos)
+
+    per = pallas_substeps(model, qpos, qvel, target, chol, kp, dt, n_sub,
+                          tile=128, interpret=True, substeps_per_kernel=1)
+    fused = pallas_substeps(model, qpos, qvel, target, chol, kp, dt, n_sub,
+                            tile=128, interpret=True,
+                            substeps_per_kernel=n_sub)
+    for a, b in zip(per, fused):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+    with pytest.raises(ValueError, match="multiple"):
+        pallas_substeps(model, qpos, qvel, target, chol, kp, dt, n_sub,
+                        tile=128, interpret=True, substeps_per_kernel=3)
+
+
+def test_substep_runner_fused_knob_validation():
+    """The runner resolves 0/-1 to 'all substeps' and rejects
+    non-divisors at construction (not at first trace)."""
+    from nnx_ppo_tpu.physics.pallas_step import make_substep_runner
+
+    model = make_quadruped()
+    make_substep_runner(model, 60.0, 2e-3, 10, substeps_per_kernel=-1)
+    make_substep_runner(model, 60.0, 2e-3, 10, substeps_per_kernel=5)
+    with pytest.raises(ValueError, match="multiple"):
+        make_substep_runner(model, 60.0, 2e-3, 10, substeps_per_kernel=4)
