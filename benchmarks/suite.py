@@ -166,6 +166,7 @@ def _legged_physics(
     depthwise=None,
     substep_impl="auto",
     pallas_substeps_per_kernel=1,
+    pallas_in_kernel_factor=True,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -221,6 +222,7 @@ def _legged_physics(
             depthwise=depthwise,
             substep_impl=substep_impl,
             pallas_substeps_per_kernel=pallas_substeps_per_kernel,
+            pallas_in_kernel_factor=pallas_in_kernel_factor,
             **extra,
         ),
         max_len=500,
@@ -343,6 +345,14 @@ CONFIGS = {
         _legged_physics, "humanoid", reuse_mass_matrix=True,
         substep_impl="pallas",
     ),
+    # Pin: Pallas substeps with the factor still built XLA-side (the
+    # pre-in-kernel-factor path), for measuring what moving CRBA+chol
+    # into the kernel is worth.
+    "quadruped_2048_pallas_xlafactor": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        substep_impl="pallas", pallas_in_kernel_factor=False,
+        pallas_substeps_per_kernel=-1,
+    ),
     # Fully-fused variant: ALL substeps of a control step unrolled
     # inside ONE Pallas launch (intermediates VMEM-resident across
     # substeps, one dispatch per control step). Separate configs
@@ -365,6 +375,15 @@ CONFIGS = {
     "quadruped_2048_fastM_generic": functools.partial(
         _legged_physics, "quadruped", reuse_mass_matrix=True,
         depthwise=False,
+    ),
+    # Exact-dynamics generic pins (per-substep CRBA + factorization,
+    # no held factor): isolates whether the depthwise engine's
+    # Gram-form mass matrix helps or hurts the exact path on TPU.
+    "quadruped_2048_generic": functools.partial(
+        _legged_physics, "quadruped", depthwise=False,
+    ),
+    "humanoid_2048_generic": functools.partial(
+        _legged_physics, "humanoid", depthwise=False,
     ),
     "humanoid_2048_fastM_generic": functools.partial(
         _legged_physics, "humanoid", reuse_mass_matrix=True,

@@ -30,7 +30,10 @@ from nnx_ppo_tpu.physics.engine_depthwise import (
     mass_matrix_inverse_dw,
 )
 from nnx_ppo_tpu.physics.engine_soa import soa_unsupported_reason
-from nnx_ppo_tpu.physics.pallas_step import make_substep_runner
+from nnx_ppo_tpu.physics.pallas_step import (
+    make_control_step_runner,
+    make_substep_runner,
+)
 from nnx_ppo_tpu.physics.model import Model
 from nnx_ppo_tpu.physics.randomize import privileged_vector
 from nnx_ppo_tpu.physics.spatial import quat_to_rot
@@ -198,6 +201,7 @@ class LeggedJoystick:
         depthwise: bool | None = None,
         substep_impl: str = "auto",
         pallas_substeps_per_kernel: int = 1,
+        pallas_in_kernel_factor: bool = True,
     ):
         self.model = model
         self.default_pose = jnp.asarray(default_pose, jnp.float32)
@@ -307,6 +311,7 @@ class LeggedJoystick:
             )
         self.substep_impl = substep_impl
         self._substep_runner = None
+        self._control_runner = None
         if substep_impl != "xla":
             reason = soa_unsupported_reason(model)
             if reason is None and not reuse_mass_matrix:
@@ -323,18 +328,29 @@ class LeggedJoystick:
             if reason is None and push_force > 0.0:
                 reason = "SoA substep does not apply external push forces"
             if reason is None:
-                # substeps_per_kernel > 1 unrolls that many substeps
-                # INSIDE one Pallas launch (0/-1 = all of them): a
-                # control step becomes n_substeps/k kernel dispatches
-                # with all intermediates VMEM-resident across substeps.
-                # Kept a knob (default 1) because the larger Mosaic
-                # program has historically wedged one remote-compile
-                # toolchain (docs/physics.md).
-                self._substep_runner = make_substep_runner(
-                    model, kp, self.physics_dt, n_substeps,
-                    force_pallas=(substep_impl == "pallas"),
-                    substeps_per_kernel=pallas_substeps_per_kernel,
-                )
+                if pallas_in_kernel_factor:
+                    # One Pallas launch per CONTROL step: the CRBA +
+                    # Cholesky factor of M + dt·D is computed in-kernel
+                    # (crba_chol_soa) and every intermediate stays
+                    # VMEM-resident across all substeps — no XLA-side
+                    # factor build at all (it dominated the device
+                    # profile once the substeps moved into the kernel).
+                    self._control_runner = make_control_step_runner(
+                        model, kp, self.physics_dt, n_substeps,
+                        force_pallas=(substep_impl == "pallas"),
+                    )
+                else:
+                    # substeps_per_kernel > 1 unrolls that many substeps
+                    # INSIDE one Pallas launch (0/-1 = all of them): a
+                    # control step becomes n_substeps/k kernel
+                    # dispatches. Kept as a fallback mode because the
+                    # larger Mosaic programs are the known compile risk
+                    # on remote toolchains (docs/physics.md).
+                    self._substep_runner = make_substep_runner(
+                        model, kp, self.physics_dt, n_substeps,
+                        force_pallas=(substep_impl == "pallas"),
+                        substeps_per_kernel=pallas_substeps_per_kernel,
+                    )
             elif substep_impl == "pallas":
                 raise ValueError(f"substep_impl='pallas' unsupported: {reason}")
         self.observation_size = {"proprio": 3 * self.n_act + 6, "command": 3}
@@ -610,6 +626,16 @@ class LeggedJoystick:
         # 'auto' it engages on TPU only — the XLA depthwise/generic
         # paths win on CPU; 'pallas' forces it (interpret mode off-TPU,
         # for exactness tests through the env path).
+        if self._control_runner is not None and (
+            self.substep_impl == "pallas" or jax.default_backend() == "tpu"
+        ):
+            qpos, qvel, last_normals = self._control_runner(
+                q["qpos"], q["qvel"], target
+            )
+            return self._finish_step(
+                q, action, qpos, qvel, last_normals[: self.n_feet],
+                q["key"],
+            )
         if self._substep_runner is not None and (
             self.substep_impl == "pallas" or jax.default_backend() == "tpu"
         ):

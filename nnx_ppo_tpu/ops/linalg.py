@@ -123,6 +123,47 @@ def cholesky_backsub(L: jax.Array, rhs: jax.Array) -> jax.Array:
     return jnp.stack(xs, axis=-1)
 
 
+def tri_lower_inverse(L: jax.Array) -> jax.Array:
+    """Inverse of a batched lower-triangular matrix by 2x2 block
+    recursion: ``[[A,0],[C,D]]⁻¹ = [[A⁻¹,0],[-D⁻¹ C A⁻¹, D⁻¹]]``.
+
+    The two half-size recursions are independent, so the sequential
+    depth is O(log n) batched matmuls — vs the O(n²) chain of tiny
+    per-column substitution ops of ``vmap(cholesky_backsub)`` over an
+    identity, which a device profile showed dominating the physics
+    control step (each op a full HBM round-trip on ``[B, n]``
+    operands)."""
+    n = L.shape[-1]
+    if n == 1:
+        return 1.0 / L
+    if n == 2:
+        a = L[..., 0, 0]
+        c = L[..., 1, 0]
+        d = L[..., 1, 1]
+        zero = jnp.zeros_like(a)
+        inv_a = 1.0 / a
+        inv_d = 1.0 / d
+        row0 = jnp.stack([inv_a, zero], -1)
+        row1 = jnp.stack([-c * inv_a * inv_d, inv_d], -1)
+        return jnp.stack([row0, row1], -2)
+    m = n // 2
+    Ai = tri_lower_inverse(L[..., :m, :m])
+    Di = tri_lower_inverse(L[..., m:, m:])
+    B21 = -Di @ L[..., m:, :m] @ Ai
+    top = jnp.concatenate(
+        [Ai, jnp.zeros(L.shape[:-2] + (m, n - m), L.dtype)], -1
+    )
+    bot = jnp.concatenate([B21, Di], -1)
+    return jnp.concatenate([top, bot], -2)
+
+
+def spd_inverse_from_factor(L: jax.Array) -> jax.Array:
+    """``(L Lᵀ)⁻¹ = L⁻ᵀ L⁻¹`` — a recursive triangular inverse plus ONE
+    batched matmul. Used for held explicit mass-matrix inverses."""
+    X = tri_lower_inverse(L)
+    return jnp.swapaxes(X, -1, -2) @ X
+
+
 def cholesky_solve_blocked(M: jax.Array, rhs: jax.Array) -> jax.Array:
     """SPD solve via :func:`cholesky_factor_blocked` +
     :func:`cholesky_backsub`. The mid-size workhorse behind

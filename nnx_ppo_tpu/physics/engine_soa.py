@@ -46,6 +46,173 @@ def soa_unsupported_reason(model: Model) -> "str | None":
     return None
 
 
+def _kin_soa(model: Model, qpos):
+    """Per-body kinematics on lane tuples: world rotations ``E`` (9-lane
+    tuples), world origins ``P`` (3-lane), ``Rcp`` (child_R_parent, 9),
+    constant joint anchors, and each body's joint index (None at the
+    free base). Shared by the substep and the in-kernel CRBA."""
+    NB = model.n_bodies
+    pos = qpos[0:3]
+    quat = qpos[3:7]
+    jq = qpos[7:]
+    E = [None] * NB
+    P = [None] * NB
+    Rcp = [None] * NB
+    jpos_c = [None] * NB
+    joint_of_body = [None] * NB
+    jq_cursor = 0
+    for i, jtype in enumerate(model.joint_type):
+        parent = model.parent[i]
+        jp = _const3(model.joint_pos[i])
+        jpos_c[i] = jp
+        if jtype == FREE:
+            E[i] = soa.quat_to_m3(quat)
+            P[i] = pos
+            Rcp[i] = None  # base transform handled specially
+        else:
+            joint_of_body[i] = jq_cursor
+            axis = _const3(model.joint_axis[i])
+            R_j = soa.axis_angle_m3(axis, jq[jq_cursor])  # parent_R_child
+            jq_cursor += 1
+            E_par, P_par = E[parent], P[parent]
+            E[i] = soa.m3_mul(E_par, R_j)
+            P[i] = soa.v3_add(P_par, soa.m3_vec(E_par, jp))
+            # child_R_parent = R_jᵀ (row-major transpose)
+            Rcp[i] = (
+                R_j[0], R_j[3], R_j[6],
+                R_j[1], R_j[4], R_j[7],
+                R_j[2], R_j[5], R_j[8],
+            )
+    return E, P, Rcp, jpos_c, joint_of_body
+
+
+def crba_chol_soa(model: Model, qpos, dt: float):
+    """CRBA mass matrix + unrolled Cholesky of ``M + armature + dt·D``
+    on lane tuples — the in-kernel form of ``engine.mass_matrix_factor``
+    (same semantics; exactness-tested against it).
+
+    A device profile of the contact workload showed the ONCE-per-
+    control-step XLA factor build (generic CRBA + 18 full-matrix
+    rank-1 Cholesky updates, each an HBM round-trip over
+    ``[B, nv, nv]``) dominating the fused train step after the substeps
+    moved into the Pallas megakernel. Computing the factor on scalar
+    lanes inside the same kernel removes that HBM traffic entirely:
+    per control step the kernel reads ``qpos/qvel/target`` once and
+    writes the integrated state once.
+
+    Returns the nested lower-triangular lane tuple ``chol[i][j]``
+    (i ≥ j) that :func:`substep_soa` consumes.
+    """
+    assert model.free_base and all(
+        t in (FREE, HINGE) for t in model.joint_type
+    ), "crba_chol_soa supports free-base all-hinge models"
+    NB = model.n_bodies
+    nv = model.nv
+    E, _, Rcp, jpos_c, joint_of_body = _kin_soa(model, qpos)
+    lane = qpos[0]
+
+    def aslane(x):
+        return x if hasattr(x, "shape") else jnp.full_like(lane, x)
+
+    # Composite spatial inertias per body, kept as 3x3 blocks
+    # (ang-ang A, ang-lin B, lin-lin C; the lin-ang block is Bᵀ).
+    # Leaves start as python-float tuples; they become lane tuples the
+    # first time a child's (orientation-dependent) contribution folds in.
+    def const_blocks(i):
+        m = float(model.mass[i])
+        c = np.asarray(model.com[i], np.float64)
+        cx = np.array([[0.0, -c[2], c[1]],
+                       [c[2], 0.0, -c[0]],
+                       [-c[1], c[0], 0.0]])
+        I6 = np.block([
+            [np.asarray(model.inertia[i], np.float64) + m * cx @ cx.T,
+             m * cx],
+            [m * cx.T, m * np.eye(3)],
+        ])
+        blk = lambda r, c: tuple(float(v) for v in I6[r:r + 3, c:c + 3]
+                                 .reshape(-1))
+        return [blk(0, 0), blk(0, 3), blk(3, 3)]
+
+    Ic = [const_blocks(i) for i in range(NB)]
+
+    for i in reversed(range(1, NB)):
+        # Congruence Y = X_upᵀ Ic X_up with X = [[Eᵢ, 0], [-U, Eᵢ]],
+        # Eᵢ = child_R_parent, U = Eᵢ·skew(jpos) (constant skew).
+        Ei = Rcp[i]
+        r = jpos_c[i]
+        sk = (0.0, -r[2], r[1], r[2], 0.0, -r[0], -r[1], r[0], 0.0)
+        U = soa.m3_mul(Ei, sk)
+        A, B, C = Ic[i]
+        Bt = soa.m3_transpose(B)
+        W11 = soa.m3_sub(soa.m3_mul(A, Ei), soa.m3_mul(B, U))
+        W12 = soa.m3_mul(B, Ei)
+        W21 = soa.m3_sub(soa.m3_mul(Bt, Ei), soa.m3_mul(C, U))
+        W22 = soa.m3_mul(C, Ei)
+        Y11 = soa.m3_sub(soa.m3T_mul(Ei, W11), soa.m3T_mul(U, W21))
+        Y12 = soa.m3_sub(soa.m3T_mul(Ei, W12), soa.m3T_mul(U, W22))
+        Y22 = soa.m3T_mul(Ei, W22)
+        p = model.parent[i]
+        Ic[p] = [
+            soa.m3_add(Ic[p][0], Y11),
+            soa.m3_add(Ic[p][1], Y12),
+            soa.m3_add(Ic[p][2], Y22),
+        ]
+
+    # Lower-triangular M entries (dof order: base 0:6, then joints in
+    # body order — dof index of body i is 6 + joint_of_body[i], and an
+    # ancestor's dof index is always smaller).
+    M = [[None] * (i + 1) for i in range(nv)]
+    A0, B0, C0 = Ic[0]
+    base66 = [
+        [A0[0], A0[1], A0[2], B0[0], B0[1], B0[2]],
+        [A0[3], A0[4], A0[5], B0[3], B0[4], B0[5]],
+        [A0[6], A0[7], A0[8], B0[6], B0[7], B0[8]],
+        [B0[0], B0[3], B0[6], C0[0], C0[1], C0[2]],
+        [B0[1], B0[4], B0[7], C0[3], C0[4], C0[5]],
+        [B0[2], B0[5], B0[8], C0[6], C0[7], C0[8]],
+    ]
+    for i in range(6):
+        for j in range(i + 1):
+            M[i][j] = base66[i][j]
+
+    for i in range(1, NB):
+        di = 6 + joint_of_body[i]
+        axis = _const3(model.joint_axis[i])
+        A, B, C = Ic[i]
+        Bt = soa.m3_transpose(B)
+        F = soa.sp(soa.m3_vec(A, axis), soa.m3_vec(Bt, axis))
+        M[di][di] = soa.v3_dot(soa.sp_ang(F), axis)
+        j = i
+        while model.parent[j] >= 0:
+            F = soa.xup_force_T(Rcp[j], jpos_c[j], F)
+            j = model.parent[j]
+            if model.joint_type[j] == FREE:
+                for k in range(6):
+                    M[di][k] = F[k]
+            else:
+                dj = 6 + joint_of_body[j]
+                M[di][dj] = soa.v3_dot(
+                    soa.sp_ang(F), _const3(model.joint_axis[j])
+                )
+
+    armature = np.asarray(model.armature, np.float64)
+    damping = np.asarray(model.damping, np.float64)
+    for k in range(nv):
+        M[k][k] = M[k][k] + float(armature[k] + dt * damping[k])
+
+    # Unrolled Cholesky on the packed lower triangle (~nv³/6 fused
+    # lane ops; nv = 18 for the quadruped class).
+    L = [[None] * (i + 1) for i in range(nv)]
+    for i in range(nv):
+        for j in range(i + 1):
+            # None = structural zero (dof pairs on different branches).
+            s = aslane(0.0 if M[i][j] is None else M[i][j])
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
+    return tuple(tuple(row) for row in L)
+
+
 def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
     """One physics substep on lane tuples.
 
@@ -79,34 +246,7 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
     jd = qvel[6:]
 
     # ---- kinematics (trace-time loop over bodies) ----
-    E = [None] * NB  # world_R_body (9-tuple of lanes)
-    P = [None] * NB  # body origin in world (3-tuple)
-    Rcp = [None] * NB  # child_R_parent
-    jpos_c = [None] * NB  # joint anchor consts
-    jq_cursor = 0
-    joint_of_body = [None] * NB
-    for i, jtype in enumerate(model.joint_type):
-        parent = model.parent[i]
-        jp = _const3(model.joint_pos[i])
-        jpos_c[i] = jp
-        if jtype == FREE:
-            E[i] = soa.quat_to_m3(quat)
-            P[i] = pos
-            Rcp[i] = None  # base transform handled specially
-        else:
-            joint_of_body[i] = jq_cursor
-            axis = _const3(model.joint_axis[i])
-            R_j = soa.axis_angle_m3(axis, jq[jq_cursor])  # parent_R_child
-            jq_cursor += 1
-            E_par, P_par = E[parent], P[parent]
-            E[i] = soa.m3_mul(E_par, R_j)
-            P[i] = soa.v3_add(P_par, soa.m3_vec(E_par, jp))
-            # child_R_parent = R_jᵀ (row-major transpose)
-            Rcp[i] = (
-                R_j[0], R_j[3], R_j[6],
-                R_j[1], R_j[4], R_j[7],
-                R_j[2], R_j[5], R_j[8],
-            )
+    E, P, Rcp, jpos_c, joint_of_body = _kin_soa(model, qpos)
 
     # ---- body velocities ----
     v = [None] * NB

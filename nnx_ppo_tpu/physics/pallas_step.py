@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nnx_ppo_tpu.physics.engine_soa import substep_soa
+from nnx_ppo_tpu.physics.engine_soa import crba_chol_soa, substep_soa
 from nnx_ppo_tpu.physics.model import Model
 
 
@@ -132,6 +132,82 @@ def pallas_substeps(
     return qpos_t.T, qvel_t.T, normals_t.T
 
 
+def pallas_control_step(
+    model: Model,
+    qpos: jax.Array,  # [B, nq]
+    qvel: jax.Array,  # [B, nv]
+    target: jax.Array,  # [B, nj]
+    kp: float,
+    dt: float,
+    n_substeps: int,
+    tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One Pallas launch per CONTROL step: CRBA + Cholesky factor of
+    ``M + dt·D`` computed IN-KERNEL (``crba_chol_soa``), then all
+    ``n_substeps`` substeps, every intermediate VMEM-resident.
+
+    This removes the once-per-control-step XLA factor build — generic
+    CRBA plus 18 full-matrix rank-1 Cholesky updates, each an HBM
+    round-trip over ``[B, nv, nv]`` — which a device profile showed
+    dominating the fused train step once the substeps themselves moved
+    into the megakernel (docs/performance.md). Per control step the
+    kernel reads ``qpos/qvel/target`` once and writes the integrated
+    state and last-substep normals once.
+
+    Same held-factor semantics as the ``chol=``-passing path
+    (``reuse_mass_matrix``): the factor comes from the pre-substep
+    ``qpos`` and is held across the control step.
+    """
+    from jax.experimental import pallas as pl
+
+    B = qpos.shape[0]
+    nq, nv, nj = model.nq, model.nv, model.nj
+    n_geoms = len(model.geom_body) + len(model.pair_geom_a)
+    if B % tile != 0:
+        raise ValueError(f"batch {B} not divisible by tile {tile}")
+
+    def kernel(qpos_ref, qvel_ref, target_ref,
+               qpos_out, qvel_out, normals_out):
+        qp = tuple(qpos_ref[k, :] for k in range(nq))
+        qv = tuple(qvel_ref[k, :] for k in range(nv))
+        tgt = tuple(target_ref[k, :] for k in range(nj))
+        chol_lanes = crba_chol_soa(model, qp, dt)
+        normals = None
+        for _ in range(n_substeps):
+            qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
+                                          kp, dt)
+        for k in range(nq):
+            qpos_out[k, :] = qp[k]
+        for k in range(nv):
+            qvel_out[k, :] = qv[k]
+        for k in range(n_geoms):
+            normals_out[k, :] = normals[k]
+
+    def spec(k):
+        return pl.BlockSpec((k, tile), lambda i: (0, i))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[spec(nq), spec(nv), spec(nj)],
+        out_specs=[spec(nq), spec(nv), spec(n_geoms)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, B), jnp.float32),
+            jax.ShapeDtypeStruct((nv, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_geoms, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    qp_t, qv_t, normals_t = call(
+        qpos.T.astype(jnp.float32),
+        qvel.T.astype(jnp.float32),
+        target.T.astype(jnp.float32),
+    )
+    return qp_t.T, qv_t.T, normals_t.T
+
+
 def _pick_tile(B: int, model: "Model | None" = None) -> "int | None":
     """Largest lane tile that divides the batch and fits VMEM.
 
@@ -164,6 +240,67 @@ def _pick_tile(B: int, model: "Model | None" = None) -> "int | None":
                 continue
         return tile
     return None
+
+
+def make_control_step_runner(
+    model: Model,
+    kp: float,
+    dt: float,
+    n_substeps: int,
+    force_pallas: bool = False,
+):
+    """Like :func:`make_substep_runner` but with the mass-matrix factor
+    computed IN-KERNEL: ``run(qpos, qvel, target)`` — no ``chol``
+    argument, no XLA-side CRBA/factor at all. Batched execution is one
+    :func:`pallas_control_step` launch per control step."""
+    from jax.custom_batching import custom_vmap
+
+    nq, nv, nj = model.nq, model.nv, model.nj
+    n_geoms = len(model.geom_body) + len(model.pair_geom_a)
+
+    def run_one(qpos, qvel, target):
+        qp = tuple(qpos[k] for k in range(nq))
+        qv = tuple(qvel[k] for k in range(nv))
+        tgt = tuple(target[k] for k in range(nj))
+        chol_lanes = crba_chol_soa(model, qp, dt)
+        normals = None
+        for _ in range(n_substeps):
+            qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
+                                          kp, dt)
+        return (
+            jnp.stack(qp),
+            jnp.stack(qv),
+            jnp.stack(normals) if n_geoms else jnp.zeros((0,)),
+        )
+
+    @custom_vmap
+    def run(qpos, qvel, target):
+        return run_one(qpos, qvel, target)
+
+    @run.def_vmap
+    def run_vmap(axis_size, in_batched, qpos, qvel, target):
+        def ensure(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        qpos = ensure(qpos, in_batched[0])
+        qvel = ensure(qvel, in_batched[1])
+        target = ensure(target, in_batched[2])
+
+        on_tpu = jax.default_backend() == "tpu"
+        tile = _pick_tile(axis_size, model) if on_tpu else axis_size
+        if force_pallas or (on_tpu and tile is not None):
+            out = pallas_control_step(
+                model, qpos, qvel, target, kp, dt, n_substeps,
+                tile=tile if tile is not None else axis_size,
+                interpret=not on_tpu,
+            )
+        else:
+            out = jax.vmap(run_one)(qpos, qvel, target)
+        return out, (True, True, True)
+
+    return run
 
 
 def make_substep_runner(

@@ -103,6 +103,33 @@ def m3_mul(A, B):
     )
 
 
+def m3_add(A, B):
+    return tuple(A[k] + B[k] for k in range(9))
+
+
+def m3_sub(A, B):
+    return tuple(A[k] - B[k] for k in range(9))
+
+
+def m3_transpose(A):
+    return (A[0], A[3], A[6], A[1], A[4], A[7], A[2], A[5], A[8])
+
+
+def m3T_mul(A, B):
+    """Aᵀ @ B (both row-major 9-tuples)."""
+    return (
+        A[0] * B[0] + A[3] * B[3] + A[6] * B[6],
+        A[0] * B[1] + A[3] * B[4] + A[6] * B[7],
+        A[0] * B[2] + A[3] * B[5] + A[6] * B[8],
+        A[1] * B[0] + A[4] * B[3] + A[7] * B[6],
+        A[1] * B[1] + A[4] * B[4] + A[7] * B[7],
+        A[1] * B[2] + A[4] * B[5] + A[7] * B[8],
+        A[2] * B[0] + A[5] * B[3] + A[8] * B[6],
+        A[2] * B[1] + A[5] * B[4] + A[8] * B[7],
+        A[2] * B[2] + A[5] * B[5] + A[8] * B[8],
+    )
+
+
 def quat_to_m3(q):
     """world_R_body of a unit quaternion (w, x, y, z) — same convention
     as ``spatial.quat_to_rot``."""

@@ -120,12 +120,18 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
     """'auto' prepares the megakernel runner for supported configs but
     does not engage it off-TPU (the depthwise XLA path wins on CPU)."""
     env = QuadrupedJoystick(reuse_mass_matrix=True)  # substep_impl='auto'
-    assert env._substep_runner is not None
+    assert env._control_runner is not None  # in-kernel-factor default
+    # The legacy XLA-side-factor kernel stays reachable via the knob.
+    env_legacy = QuadrupedJoystick(
+        reuse_mass_matrix=True, pallas_in_kernel_factor=False
+    )
+    assert env_legacy._substep_runner is not None
+    assert env_legacy._control_runner is None
     # The full contact feature set is in the SoA kernel's scope too.
     env_full = QuadrupedJoystick(
         reuse_mass_matrix=True, joint_limits=True, self_collision=True
     )
-    assert env_full._substep_runner is not None
+    assert env_full._control_runner is not None
     # Unsupported configs quietly keep the XLA path under 'auto'.
     from nnx_ppo_tpu.physics import DomainRandomization
 
@@ -133,7 +139,7 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
         reuse_mass_matrix=True,
         randomize=DomainRandomization(mass_scale=(0.9, 1.1)),
     )
-    assert env2._substep_runner is None
+    assert env2._substep_runner is None and env2._control_runner is None
     # Off-TPU, a step through 'auto' must take the XLA path and stay
     # finite (dispatch is trace-time on jax.default_backend()).
     state = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), 4))
