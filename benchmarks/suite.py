@@ -328,6 +328,13 @@ CONFIGS = {
     "quadruped_2048_fastM": functools.partial(
         _legged_physics, "quadruped", reuse_mass_matrix=True
     ),
+    # XLA depthwise pin of the held-factor path (on TPU, 'auto' configs
+    # take the Pallas in-kernel-factor megakernel; this row measures
+    # what the pure-XLA engine does on the same workload).
+    "quadruped_2048_fastM_xla": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        substep_impl="xla",
+    ),
     # Pallas physics megakernel (physics/pallas_step.py): the whole
     # fastM substep chain fused into one kernel per env tile —
     # collapses the ~hundreds of tiny sequential VPU kernels/substep
@@ -374,20 +381,22 @@ CONFIGS = {
     # depth-wise batched default on supported models.
     "quadruped_2048_fastM_generic": functools.partial(
         _legged_physics, "quadruped", reuse_mass_matrix=True,
-        depthwise=False,
+        depthwise=False, substep_impl="xla",
     ),
     # Exact-dynamics generic pins (per-substep CRBA + factorization,
     # no held factor): isolates whether the depthwise engine's
     # Gram-form mass matrix helps or hurts the exact path on TPU.
     "quadruped_2048_generic": functools.partial(
         _legged_physics, "quadruped", depthwise=False,
+        substep_impl="xla",
     ),
     "humanoid_2048_generic": functools.partial(
         _legged_physics, "humanoid", depthwise=False,
+        substep_impl="xla",
     ),
     "humanoid_2048_fastM_generic": functools.partial(
         _legged_physics, "humanoid", reuse_mass_matrix=True,
-        depthwise=False,
+        depthwise=False, substep_impl="xla",
     ),
     "quadruped_8192_fastM": functools.partial(
         _legged_physics, "quadruped", n_envs=8192, reuse_mass_matrix=True

@@ -314,7 +314,14 @@ class LeggedJoystick:
         self._control_runner = None
         if substep_impl != "xla":
             reason = soa_unsupported_reason(model)
-            if reason is None and not reuse_mass_matrix:
+            if (
+                reason is None
+                and not reuse_mass_matrix
+                and not pallas_in_kernel_factor
+            ):
+                # Only the legacy (factor-passed-in) kernel requires the
+                # held factor; the in-kernel-factor runner supports
+                # exact dynamics by refactoring every substep in VMEM.
                 reason = (
                     "the Pallas substep path holds the M + dt·D factor "
                     "over the control step — pass reuse_mass_matrix=True"
@@ -338,6 +345,7 @@ class LeggedJoystick:
                     self._control_runner = make_control_step_runner(
                         model, kp, self.physics_dt, n_substeps,
                         force_pallas=(substep_impl == "pallas"),
+                        exact=not reuse_mass_matrix,
                     )
                 else:
                     # substeps_per_kernel > 1 unrolls that many substeps

@@ -142,6 +142,7 @@ def pallas_control_step(
     n_substeps: int,
     tile: int = 256,
     interpret: bool = False,
+    exact: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One Pallas launch per CONTROL step: CRBA + Cholesky factor of
     ``M + dt·D`` computed IN-KERNEL (``crba_chol_soa``), then all
@@ -157,7 +158,12 @@ def pallas_control_step(
 
     Same held-factor semantics as the ``chol=``-passing path
     (``reuse_mass_matrix``): the factor comes from the pre-substep
-    ``qpos`` and is held across the control step.
+    ``qpos`` and is held across the control step. With ``exact=True``
+    the factor is instead recomputed from the CURRENT ``qpos`` at every
+    substep — the exact-dynamics semantics of the generic engine's
+    no-``chol`` path, still in one launch (the factor build is cheap
+    once it is VMEM-resident lane math; on the XLA path exact dynamics
+    cost ~45x the held-factor path purely in HBM round-trips).
     """
     from jax.experimental import pallas as pl
 
@@ -172,9 +178,11 @@ def pallas_control_step(
         qp = tuple(qpos_ref[k, :] for k in range(nq))
         qv = tuple(qvel_ref[k, :] for k in range(nv))
         tgt = tuple(target_ref[k, :] for k in range(nj))
-        chol_lanes = crba_chol_soa(model, qp, dt)
+        chol_lanes = None if exact else crba_chol_soa(model, qp, dt)
         normals = None
         for _ in range(n_substeps):
+            if exact:
+                chol_lanes = crba_chol_soa(model, qp, dt)
             qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
                                           kp, dt)
         for k in range(nq):
@@ -248,11 +256,14 @@ def make_control_step_runner(
     dt: float,
     n_substeps: int,
     force_pallas: bool = False,
+    exact: bool = False,
 ):
     """Like :func:`make_substep_runner` but with the mass-matrix factor
     computed IN-KERNEL: ``run(qpos, qvel, target)`` — no ``chol``
     argument, no XLA-side CRBA/factor at all. Batched execution is one
-    :func:`pallas_control_step` launch per control step."""
+    :func:`pallas_control_step` launch per control step. ``exact``
+    recomputes the factor every substep (exact dynamics instead of the
+    ``reuse_mass_matrix`` held-factor approximation)."""
     from jax.custom_batching import custom_vmap
 
     nq, nv, nj = model.nq, model.nv, model.nj
@@ -262,9 +273,11 @@ def make_control_step_runner(
         qp = tuple(qpos[k] for k in range(nq))
         qv = tuple(qvel[k] for k in range(nv))
         tgt = tuple(target[k] for k in range(nj))
-        chol_lanes = crba_chol_soa(model, qp, dt)
+        chol_lanes = None if exact else crba_chol_soa(model, qp, dt)
         normals = None
         for _ in range(n_substeps):
+            if exact:
+                chol_lanes = crba_chol_soa(model, qp, dt)
             qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
                                           kp, dt)
         return (
@@ -295,6 +308,7 @@ def make_control_step_runner(
                 model, qpos, qvel, target, kp, dt, n_substeps,
                 tile=tile if tile is not None else axis_size,
                 interpret=not on_tpu,
+                exact=exact,
             )
         else:
             out = jax.vmap(run_one)(qpos, qvel, target)

@@ -100,10 +100,15 @@ def test_env_pallas_unbatched_step():
 @pytest.mark.parametrize(
     "kwargs,match",
     [
-        (dict(), "reuse_mass_matrix"),
         (
             dict(reuse_mass_matrix=True, randomize="DR"),
             "DR overrides",
+        ),
+        (
+            # The legacy factor-passed-in kernel still needs the held
+            # factor; only the in-kernel-factor runner supports exact.
+            dict(pallas_in_kernel_factor=False),
+            "reuse_mass_matrix",
         ),
     ],
 )
@@ -114,6 +119,39 @@ def test_env_pallas_refuses_unsupported(kwargs, match):
         kwargs["randomize"] = DomainRandomization(mass_scale=(0.9, 1.1))
     with pytest.raises(ValueError, match=match):
         QuadrupedJoystick(substep_impl="pallas", **kwargs)
+
+
+def test_env_pallas_exact_matches_xla_exact_path():
+    """Without ``reuse_mass_matrix`` the in-kernel-factor runner
+    refactors every substep — exact dynamics. Must reproduce the XLA
+    exact path (per-substep CRBA + solve) through the env."""
+    B, T = 8, 2
+    ref_env = QuadrupedJoystick(
+        depthwise=False, substep_impl="xla", n_substeps=3
+    )
+    pl_env = QuadrupedJoystick(substep_impl="pallas", n_substeps=3)
+    assert pl_env._control_runner is not None
+    key = jax.random.key(0)
+    ref_state = _batched_states(ref_env, B, key)
+    pl_state = _batched_states(pl_env, B, key)
+    actions = 0.3 * jax.random.normal(
+        jax.random.key(1), (T, B, ref_env.action_size)
+    )
+    ref_step = jax.jit(jax.vmap(ref_env.step))
+    pl_step = jax.jit(jax.vmap(pl_env.step))
+    for t in range(T):
+        ref_state = ref_step(ref_state, actions[t])
+        pl_state = pl_step(pl_state, actions[t])
+    np.testing.assert_allclose(
+        np.asarray(pl_state.data["qpos"]),
+        np.asarray(ref_state.data["qpos"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_state.data["qvel"]),
+        np.asarray(ref_state.data["qvel"]),
+        rtol=2e-3, atol=2e-3,
+    )
 
 
 def test_env_auto_builds_runner_but_stays_xla_on_cpu():
