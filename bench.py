@@ -32,7 +32,8 @@ import subprocess
 import sys
 
 PROBE_TIMEOUT_S = 240  # tunnel contact can be slow; wedge = silence
-BENCH_TIMEOUT_S = 1800  # first XLA compile 20-40s + 12 measured iters
+BENCH_TIMEOUT_S = 2700  # flagship compile 20-40s + 12 iters, plus the
+                        # physics-class leg (Mosaic compile ~90-190s)
 
 _PROBE_SRC = """
 import os, jax
@@ -235,19 +236,112 @@ def run_bench() -> None:
     assert s1 - s0 == N_ENVS * ROLLOUT_LENGTH * STEPS_PER_CALL * MEASURE_ITERS
 
     sps = (s1 - s0) / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "train_sps",
-                "value": round(sps),
-                "unit": "env_steps/s",
-                "vs_baseline": round(sps / 1e7, 4),
-                "platform": devices[0].platform,
-                "n_devices": n_devices,
-            }
-        ),
-        flush=True,
+    payload = {
+        "metric": "train_sps",
+        "value": round(sps),
+        "unit": "env_steps/s",
+        "vs_baseline": round(sps / 1e7, 4),
+        "platform": devices[0].platform,
+        "n_devices": n_devices,
+    }
+
+    # Physics-class leg (VERDICT r3 #5): the north-star workload class
+    # is contact-rich legged locomotion, not the analytic flagship —
+    # report the production-feature quadruped (DR + push + rough
+    # terrain, held factor, Pallas megakernel on TPU) in the same JSON
+    # line so BENCH_r*.json tracks it every round. Skipped on CPU (the
+    # kernel path is TPU-only; the XLA fallback at 2048 envs would
+    # dominate the bench budget without measuring anything relevant).
+    if devices[0].platform != "cpu":
+        try:
+            payload.update(_physics_bench(mesh))
+        except Exception as e:  # never fail the flagship number
+            payload["physics_error"] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps(payload), flush=True)
+
+
+def _physics_bench(mesh) -> dict:
+    import functools
+    import time
+
+    import jax
+
+    from nnx_ppo_tpu.algorithms import (
+        PPOConfig,
+        make_optimizer,
+        new_training_state,
     )
+    from nnx_ppo_tpu.algorithms.ppo import ppo_multi_step
+    from nnx_ppo_tpu.envs import QuadrupedJoystick
+    from nnx_ppo_tpu.networks import (
+        Concat,
+        Dense,
+        NormalTanhSampler,
+        Parallel,
+        PPOAdapter,
+        Sequential,
+        make_mlp,
+    )
+    from nnx_ppo_tpu.physics import DomainRandomization
+    from nnx_ppo_tpu.physics.terrain import rough_terrain
+    from nnx_ppo_tpu.wrappers import EpisodeWrapper
+
+    env = EpisodeWrapper(
+        QuadrupedJoystick(
+            reuse_mass_matrix=True,
+            randomize=DomainRandomization(
+                mass_scale=(0.8, 1.2), friction=(0.4, 1.0),
+                damping_scale=(0.9, 1.1), gain_scale=(0.9, 1.1),
+            ),
+            push_prob=0.02, push_force=50.0,
+            terrain=rough_terrain(seed=2, amplitude=0.03, wavelength=1.5),
+        ),
+        max_len=500,
+    )
+    proprio = env.observation_size["proprio"]
+    n_act = env.action_size
+    k = jax.random.split(jax.random.key(0), 7)
+    enc = Concat.create(
+        proprio=Dense.create(proprio, 128, k[0], jax.nn.relu),
+        command=Dense.create(3, 32, k[1], jax.nn.relu),
+    )
+    actor = Sequential.create([
+        Dense.create(160, 128, k[2], jax.nn.relu),
+        Dense.create(128, 2 * n_act, k[3]),
+        NormalTanhSampler.create(k[4], entropy_weight=1e-3),
+    ])
+    critic = Parallel.create(
+        tracking=make_mlp([160, 128, 1], k[5], activation_last_layer=False),
+        penalty=make_mlp([160, 128, 1], k[6], activation_last_layer=False),
+    )
+    net = Sequential.create(
+        [enc, PPOAdapter.create(action=actor, value=critic)]
+    )
+    config = PPOConfig(
+        n_envs=2048, rollout_length=20, combine_advantages=True
+    )
+    optimizer = make_optimizer(config.learning_rate)
+    ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
+    step = jax.jit(
+        functools.partial(
+            ppo_multi_step, env, config=config, optimizer=optimizer,
+            n_steps=STEPS_PER_CALL, mesh=mesh,
+        ),
+        donate_argnums=(0,),
+    )
+    for _ in range(WARMUP_ITERS):
+        ts, _ = step(ts)
+    s0 = int(ts.steps_taken)
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_ITERS):
+        ts, _ = step(ts)
+    s1 = int(ts.steps_taken)
+    elapsed = time.perf_counter() - t0
+    return {
+        "physics_sps": round((s1 - s0) / elapsed),
+        "physics_config": "quadruped_2048_production-class "
+                          "(DR+push+rough, held factor, auto kernel)",
+    }
 
 
 if __name__ == "__main__":

@@ -48,9 +48,12 @@ Usage:
     python benchmarks/roofline.py [config ...]   # default: all with
                                                  # measured rows
 
-Writes/updates ``results/roofline.csv`` and prints one JSON row per
-config. Everything is computed from shapes (``jax.eval_shape``) — no
-compilation, no device, runs in seconds on CPU.
+Writes/updates ``results/roofline.csv`` (merging by config name —
+analyzing a subset refreshes those rows and keeps the rest) and prints
+one JSON row per config. Everything is computed from shapes
+(``jax.eval_shape``) — no compilation, no device. Light configs
+analyze in seconds; heavy ones (physics env construction + tracing)
+can take minutes on a slow CPU host.
 """
 
 from __future__ import annotations
@@ -183,12 +186,22 @@ def main() -> None:
 
     os.makedirs(RESULTS, exist_ok=True)
     out = os.path.join(RESULTS, "roofline.csv")
-    fields = sorted({k for r in rows for k in r}, key=lambda k: (
+    # Merge by config name: analyzing a subset must not drop the other
+    # committed rows (ADVICE r3).
+    merged: "dict[str, dict]" = {}
+    if os.path.exists(out):
+        with open(out, newline="") as f:
+            for row in csv.DictReader(f):
+                merged[row["config"]] = row
+    for r in rows:
+        merged[r["config"]] = r
+    rows_out = list(merged.values())
+    fields = sorted({k for r in rows_out for k in r}, key=lambda k: (
         k not in ("config", "n_envs", "train_sps"), k))
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
-        w.writerows(rows)
+        w.writerows(rows_out)
     print(f"# wrote {out}", file=sys.stderr)
 
 

@@ -29,7 +29,10 @@ from nnx_ppo_tpu.physics.engine_depthwise import (
     forward_dynamics_dw,
     mass_matrix_inverse_dw,
 )
-from nnx_ppo_tpu.physics.engine_soa import soa_unsupported_reason
+from nnx_ppo_tpu.physics.engine_soa import (
+    soa_features_unsupported_reason,
+    soa_unsupported_reason,
+)
 from nnx_ppo_tpu.physics.pallas_step import (
     make_control_step_runner,
     make_substep_runner,
@@ -312,6 +315,8 @@ class LeggedJoystick:
         self.substep_impl = substep_impl
         self._substep_runner = None
         self._control_runner = None
+        self._dr_fields: tuple = ()
+        self._kernel_push = False
         if substep_impl != "xla":
             reason = soa_unsupported_reason(model)
             if (
@@ -326,14 +331,30 @@ class LeggedJoystick:
                     "the Pallas substep path holds the M + dt·D factor "
                     "over the control step — pass reuse_mass_matrix=True"
                 )
-            if reason is None and terrain is not None:
-                reason = "SoA substep supports the flat z=0 ground only"
-            if reason is None and randomize is not None:
-                reason = (
-                    "SoA substep does not consume per-env DR overrides"
-                )
-            if reason is None and push_force > 0.0:
-                reason = "SoA substep does not apply external push forces"
+            if reason is None:
+                if pallas_in_kernel_factor:
+                    # The in-kernel-factor runner carries the full
+                    # production feature set — analytic terrain, scalar
+                    # per-env DR draws, push forces — as extra input
+                    # lanes of the same launch.
+                    reason = soa_features_unsupported_reason(
+                        terrain=terrain, randomize=randomize
+                    )
+                elif terrain is not None:
+                    reason = (
+                        "the legacy substep kernel supports the flat "
+                        "z=0 ground only"
+                    )
+                elif randomize is not None:
+                    reason = (
+                        "the legacy substep kernel does not consume "
+                        "per-env DR overrides"
+                    )
+                elif push_force > 0.0:
+                    reason = (
+                        "the legacy substep kernel does not apply "
+                        "external push forces"
+                    )
             if reason is None:
                 if pallas_in_kernel_factor:
                     # One Pallas launch per CONTROL step: the CRBA +
@@ -342,10 +363,23 @@ class LeggedJoystick:
                     # VMEM-resident across all substeps — no XLA-side
                     # factor build at all (it dominated the device
                     # profile once the substeps moved into the kernel).
+                    if randomize is not None:
+                        self._dr_fields = tuple(
+                            name
+                            for name in (
+                                "mass_scale", "friction",
+                                "damping_scale", "gain_scale",
+                            )
+                            if getattr(randomize, name) is not None
+                        )
+                    self._kernel_push = push_force > 0.0
                     self._control_runner = make_control_step_runner(
                         model, kp, self.physics_dt, n_substeps,
                         force_pallas=(substep_impl == "pallas"),
                         exact=not reuse_mass_matrix,
+                        terrain=terrain,
+                        dr_fields=self._dr_fields,
+                        has_push=self._kernel_push,
                     )
                 else:
                     # substeps_per_kernel > 1 unrolls that many substeps
@@ -629,20 +663,45 @@ class LeggedJoystick:
         dr = q.get("dr") if self.randomize is not None else None
         gain = 1.0 if dr is None or dr.gain_scale is None else dr.gain_scale
 
+        # Disturbance-push sampling is shared by the kernel and XLA
+        # paths (identical key splits, so the paths are exactness-
+        # comparable through the env).
+        if self.push_force > 0.0:
+            k_push, k_dir, key_rest = jax.random.split(q["key"], 3)
+            pushing = jax.random.bernoulli(k_push, self.push_prob)
+            theta = jax.random.uniform(k_dir, (), minval=0.0,
+                                       maxval=2.0 * jnp.pi)
+            f_push = (
+                pushing.astype(jnp.float32)
+                * self.push_force
+                * jnp.array([jnp.cos(theta), jnp.sin(theta), 0.0])
+            )
+        else:
+            f_push, key_rest = None, q["key"]
+
         # Megakernel dispatch (trace-time): the runner's custom_vmap
         # sends the vmapped batch into one Pallas program per tile. On
         # 'auto' it engages on TPU only — the XLA depthwise/generic
         # paths win on CPU; 'pallas' forces it (interpret mode off-TPU,
-        # for exactness tests through the env path).
+        # for exactness tests through the env path). DR scalars and the
+        # push vector ride along as packed per-env extra lanes.
         if self._control_runner is not None and (
             self.substep_impl == "pallas" or jax.default_backend() == "tpu"
         ):
-            qpos, qvel, last_normals = self._control_runner(
-                q["qpos"], q["qvel"], target
-            )
+            parts = [getattr(dr, name) for name in self._dr_fields]
+            if self._kernel_push:
+                parts.extend([f_push[0], f_push[1], f_push[2]])
+            if parts:
+                qpos, qvel, last_normals = self._control_runner(
+                    q["qpos"], q["qvel"], target, jnp.stack(parts)
+                )
+            else:
+                qpos, qvel, last_normals = self._control_runner(
+                    q["qpos"], q["qvel"], target
+                )
             return self._finish_step(
                 q, action, qpos, qvel, last_normals[: self.n_feet],
-                q["key"],
+                key_rest,
             )
         if self._substep_runner is not None and (
             self.substep_impl == "pallas" or jax.default_backend() == "tpu"
@@ -655,7 +714,7 @@ class LeggedJoystick:
             )
             return self._finish_step(
                 q, action, qpos, qvel, last_normals[: self.n_feet],
-                q["key"],
+                key_rest,
             )
 
         chol = minv = None
@@ -673,19 +732,6 @@ class LeggedJoystick:
                 chol = mass_matrix_factor(
                     self.model, q["qpos"], dt=self.physics_dt, params=dr
                 )
-
-        if self.push_force > 0.0:
-            k_push, k_dir, key_rest = jax.random.split(q["key"], 3)
-            pushing = jax.random.bernoulli(k_push, self.push_prob)
-            theta = jax.random.uniform(k_dir, (), minval=0.0,
-                                       maxval=2.0 * jnp.pi)
-            f_push = (
-                pushing.astype(jnp.float32)
-                * self.push_force
-                * jnp.array([jnp.cos(theta), jnp.sin(theta), 0.0])
-            )
-        else:
-            f_push, key_rest = None, q["key"]
 
         def substep(carry, _):
             qp, qv = carry

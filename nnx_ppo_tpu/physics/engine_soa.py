@@ -46,6 +46,59 @@ def soa_unsupported_reason(model: Model) -> "str | None":
     return None
 
 
+def soa_features_unsupported_reason(
+    *, terrain=None, randomize=None
+) -> "str | None":
+    """Why the SoA substep cannot run with these per-env FEATURES — or
+    ``None`` if it can. Complements :func:`soa_unsupported_reason`
+    (model structure) with the production-realism feature set: analytic
+    :class:`~nnx_ppo_tpu.physics.terrain.Terrain` heightfields, scalar
+    per-env :class:`~nnx_ppo_tpu.physics.randomize.DomainRandomization`
+    draws, and trunk push forces (always supported — an extra additive
+    lane, no check needed)."""
+    if terrain is not None:
+        from nnx_ppo_tpu.physics.terrain import Terrain
+
+        if not isinstance(terrain, Terrain):
+            return (
+                "SoA substep supports analytic Terrain heightfields "
+                "only (HeightGrid needs per-lane gathers)"
+            )
+    if randomize is not None:
+        from nnx_ppo_tpu.physics.randomize import DomainRandomization
+
+        if not isinstance(randomize, DomainRandomization):
+            return (
+                "SoA substep consumes scalar DomainRandomization draws "
+                "only (per-body overrides need one lane per body)"
+            )
+    return None
+
+
+def _terrain_height_soa(terrain, x, y):
+    """Analytic terrain height on lanes — lane form of
+    ``Terrain.height`` (the wave parameters are trace-time floats)."""
+    h = terrain.slope[0] * x + terrain.slope[1] * y
+    for a, f, d, p in zip(terrain.amplitudes, terrain.frequencies,
+                          terrain.directions, terrain.phases):
+        h = h + a * jnp.sin(f * (d[0] * x + d[1] * y) + p)
+    return h
+
+
+def _terrain_normal_soa(terrain, x, y):
+    """Upward unit surface normal on lanes — lane form of
+    ``Terrain.normal`` (normalize([-grad, 1]))."""
+    gx = jnp.zeros_like(x) + terrain.slope[0]
+    gy = jnp.zeros_like(y) + terrain.slope[1]
+    for a, f, d, p in zip(terrain.amplitudes, terrain.frequencies,
+                          terrain.directions, terrain.phases):
+        c = a * f * jnp.cos(f * (d[0] * x + d[1] * y) + p)
+        gx = gx + d[0] * c
+        gy = gy + d[1] * c
+    inv = 1.0 / jnp.sqrt(gx * gx + gy * gy + 1.0)
+    return (-gx * inv, -gy * inv, inv)
+
+
 def _kin_soa(model: Model, qpos):
     """Per-body kinematics on lane tuples: world rotations ``E`` (9-lane
     tuples), world origins ``P`` (3-lane), ``Rcp`` (child_R_parent, 9),
@@ -86,10 +139,19 @@ def _kin_soa(model: Model, qpos):
     return E, P, Rcp, jpos_c, joint_of_body
 
 
-def crba_chol_soa(model: Model, qpos, dt: float):
+def crba_chol_soa(model: Model, qpos, dt: float, *,
+                  mass_scale=None, damping_scale=None):
     """CRBA mass matrix + unrolled Cholesky of ``M + armature + dt·D``
     on lane tuples — the in-kernel form of ``engine.mass_matrix_factor``
     (same semantics; exactness-tested against it).
+
+    ``mass_scale`` / ``damping_scale``: optional per-env lanes (the
+    scalar :class:`~nnx_ppo_tpu.physics.randomize.DomainParams` fields).
+    CRBA is linear in the body inertias, so a scalar density scale
+    multiplies the whole unscaled ``M`` — armature (rotor inertia, a
+    motor property) stays unscaled, and the implicit ``dt·D`` diagonal
+    takes the damping scale, exactly matching
+    ``engine.mass_matrix_factor(params=...)``.
 
     A device profile of the contact workload showed the ONCE-per-
     control-step XLA factor build (generic CRBA + 18 full-matrix
@@ -197,8 +259,19 @@ def crba_chol_soa(model: Model, qpos, dt: float):
 
     armature = np.asarray(model.armature, np.float64)
     damping = np.asarray(model.damping, np.float64)
+    if mass_scale is not None:
+        # Scalar density scale: CRBA is linear in the inertias, so
+        # scale the assembled entries (one multiply per lower-tri
+        # entry) instead of the per-body blocks.
+        for i in range(nv):
+            for j in range(i + 1):
+                if M[i][j] is not None:
+                    M[i][j] = M[i][j] * mass_scale
+    dscale = 1.0 if damping_scale is None else damping_scale
     for k in range(nv):
-        M[k][k] = M[k][k] + float(armature[k] + dt * damping[k])
+        M[k][k] = M[k][k] + float(armature[k])
+        if damping[k]:
+            M[k][k] = M[k][k] + float(dt * damping[k]) * dscale
 
     # Unrolled Cholesky on the packed lower triangle (~nv³/6 fused
     # lane ops; nv = 18 for the quadruped class).
@@ -213,7 +286,9 @@ def crba_chol_soa(model: Model, qpos, dt: float):
     return tuple(tuple(row) for row in L)
 
 
-def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
+def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
+                *, terrain=None, friction=None, mass_scale=None,
+                damping_scale=None, gain_scale=None, push=None):
     """One physics substep on lane tuples.
 
     Args:
@@ -225,6 +300,22 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
         Cholesky factor of ``M + dt·D`` (held constant over substeps).
       kp: PD P-gain (D-gain lives in model damping, implicit in chol).
       dt: substep length.
+      terrain: optional analytic
+        :class:`~nnx_ppo_tpu.physics.terrain.Terrain` heightfield
+        (trace-time constants — each wave is a fused sin/cos per
+        contact). ``None`` = flat z = 0 ground.
+      friction / mass_scale / damping_scale / gain_scale: optional
+        per-env domain-randomization lanes — the scalar
+        :class:`~nnx_ppo_tpu.physics.randomize.DomainParams` fields
+        (absolute friction coefficient; density, viscous-damping, and
+        PD-gain multipliers). ``None`` = the Model constants, zero
+        cost. Semantics match ``engine.forward_dynamics(params=...)``
+        plus the env-side ``gain · kp`` torque scaling.
+      push: optional 3-lane tuple — a world-frame disturbance force at
+        the base origin, the lane form of the env's
+        ``external_forces=[(0, base_pos, f_push)]`` (moment arm zero
+        about the base origin, so it lands purely on the linear base
+        dofs in base coords).
 
     Returns ``(qpos', qvel')`` lane tuples.
     """
@@ -293,43 +384,71 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
         Iv = soa.inertia_apply(mass, com, Icom, v[i])
         Ia = soa.inertia_apply(mass, com, Icom, a[i])
         f[i] = soa.sp_add(Ia, soa.crf_apply(v[i], Iv))
+        if mass_scale is not None:
+            # Density scale: I[i] → s·I[i] distributes over the whole
+            # inertial wrench (both the I·a and crf(v)·I·v terms).
+            f[i] = tuple(mass_scale * x for x in f[i])
 
     # ---- contacts (accumulate per body, then shared backward pass) ----
+    mu = model.friction if friction is None else friction
     normals = []
     for gidx, b in enumerate(model.geom_body):
         offset = _const3(model.geom_offset[gidx])
         radius = float(model.geom_radius[gidx])
         E_b, P_b = E[b], P[b]
         x_w = soa.v3_add(P_b, soa.m3_vec(E_b, offset))
-        phi = radius - x_w[2]
         wb = soa.sp_ang(v[b])
         lb = soa.sp_lin(v[b])
-        down = soa.m3T_vec(E_b, (zero, zero, zero - 1.0))
-        contact_offset = (
-            offset[0] + down[0] * radius,
-            offset[1] + down[1] * radius,
-            offset[2] + down[2] * radius,
-        )
-        v_pt = soa.m3_vec(
-            E_b, soa.v3_add(lb, soa.v3_cross(wb, contact_offset))
-        )
+        if terrain is None:
+            # Flat-plane fast path: the normal is the constant +z, so
+            # the normal/tangential split is a static index pick.
+            phi = radius - x_w[2]
+            down = soa.m3T_vec(E_b, (zero, zero, zero - 1.0))
+            contact_offset = (
+                offset[0] + down[0] * radius,
+                offset[1] + down[1] * radius,
+                offset[2] + down[2] * radius,
+            )
+            v_pt = soa.m3_vec(
+                E_b, soa.v3_add(lb, soa.v3_cross(wb, contact_offset))
+            )
+            vn = v_pt[2]
+        else:
+            # Analytic heightfield: surface normal from the exact
+            # gradient at the center's xy; gap along n ≈ vertical
+            # gap · n_z; contact point one radius down the normal —
+            # the lane form of engine.contact_generalized_forces'
+            # terrain branch.
+            n = _terrain_normal_soa(terrain, x_w[0], x_w[1])
+            h = _terrain_height_soa(terrain, x_w[0], x_w[1])
+            phi = radius - (x_w[2] - h) * n[2]
+            down_n = soa.m3T_vec(E_b, soa.v3_scale(-radius, n))
+            contact_offset = soa.v3_add(offset, down_n)
+            v_pt = soa.m3_vec(
+                E_b, soa.v3_add(lb, soa.v3_cross(wb, contact_offset))
+            )
+            vn = soa.v3_dot(n, v_pt)
         active = phi > 0.0
         fn = jnp.where(
             active,
             jnp.maximum(
                 0.0,
                 model.contact_stiffness * phi
-                - model.contact_damping * v_pt[2],
+                - model.contact_damping * vn,
             ),
             0.0,
         )
         if np.isfinite(model.max_contact_force):
             fn = jnp.minimum(fn, model.max_contact_force)
-        vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2 + 1e-6)
-        scale = -model.friction * fn / jnp.maximum(
-            vt_norm, model.friction_vel
-        )
-        f_w = (scale * v_pt[0], scale * v_pt[1], fn)
+        if terrain is None:
+            vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2 + 1e-6)
+            scale = -mu * fn / jnp.maximum(vt_norm, model.friction_vel)
+            f_w = (scale * v_pt[0], scale * v_pt[1], fn)
+        else:
+            vt = soa.v3_sub(v_pt, soa.v3_scale(vn, n))
+            vt_norm = jnp.sqrt(soa.v3_dot(vt, vt) + 1e-6)
+            scale = -mu * fn / jnp.maximum(vt_norm, model.friction_vel)
+            f_w = soa.v3_add(soa.v3_scale(fn, n), soa.v3_scale(scale, vt))
         normals.append(fn)
         f_b = soa.m3T_vec(E_b, f_w)
         f_sp = soa.sp(soa.v3_cross(contact_offset, f_b), f_b)
@@ -381,7 +500,7 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
             fn = jnp.minimum(fn, model.max_contact_force)
         vt = soa.v3_sub(v_rel, soa.v3_scale(sep, n))
         vt_norm = jnp.sqrt(soa.v3_dot(vt, vt) + 1e-6)
-        ft_scale = -model.friction * fn / jnp.maximum(
+        ft_scale = -mu * fn / jnp.maximum(
             vt_norm, model.friction_vel
         )
         f_w = soa.v3_add(soa.v3_scale(fn, n), soa.v3_scale(ft_scale, vt))
@@ -411,12 +530,17 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
     for i in range(NB):
         C.extend(per_dof[i])
     damping = [float(d) for d in model.damping]
-    C = [C[k] + damping[k] * qvel[k] for k in range(nv)]
+    dscale = 1.0 if damping_scale is None else damping_scale
+    C = [
+        C[k] + (damping[k] * dscale) * qvel[k] if damping[k] else C[k]
+        for k in range(nv)
+    ]
 
     # ---- applied torques (per-substep PD, P-term only) ----
+    gain = kp if gain_scale is None else gain_scale * kp
     rhs = [-C[k] for k in range(6)]
     for j in range(nj):
-        rhs.append(kp * (target[j] - jq[j]) - C[6 + j])
+        rhs.append(gain * (target[j] - jq[j]) - C[6 + j])
 
     # ---- joint-range limits (lane form of engine.limit_torques) ----
     # Spring-damper on the violation, damping active only while
@@ -445,6 +569,16 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float):
                 continue
             ref = float(model.spring_ref[6 + j])
             rhs[6 + j] = rhs[6 + j] - k_s * (jq[j] - ref)
+
+    # ---- external push (world force at the base origin) ----
+    # Lane form of engine.project_world_point_forces for the one force
+    # the envs apply: point = base origin ⇒ zero moment arm, so the
+    # wrench is (0, E₀ᵀ f_w) on the free joint's linear dofs. Added
+    # after limits/springs, matching forward_dynamics' rhs order.
+    if push is not None:
+        f_b = soa.m3T_vec(E[0], push)
+        for k in range(3):
+            rhs[3 + k] = rhs[3 + k] + f_b[k]
 
     # ---- back-substitution with the held factor ----
     ys = []

@@ -132,6 +132,25 @@ def pallas_substeps(
     return qpos_t.T, qvel_t.T, normals_t.T
 
 
+def _split_extra(extra_lanes, dr_fields, has_push):
+    """Unpack the packed per-env extras (DR scalars then the 3 push
+    lanes) into (substep kwargs, crba kwargs). ``extra_lanes`` indexes
+    lanes: ``extra_lanes[k]`` — a ref row inside the kernel, a scalar
+    inside the per-env primal."""
+    sub_kw = {}
+    for i, name in enumerate(dr_fields):
+        sub_kw[name] = extra_lanes[i]
+    if has_push:
+        n = len(dr_fields)
+        sub_kw["push"] = tuple(extra_lanes[n + k] for k in range(3))
+    crba_kw = {
+        k: v
+        for k, v in sub_kw.items()
+        if k in ("mass_scale", "damping_scale")
+    }
+    return sub_kw, crba_kw
+
+
 def pallas_control_step(
     model: Model,
     qpos: jax.Array,  # [B, nq]
@@ -143,6 +162,10 @@ def pallas_control_step(
     tile: int = 256,
     interpret: bool = False,
     exact: bool = False,
+    terrain=None,
+    extra: "jax.Array | None" = None,  # [B, n_extra] packed DR + push
+    dr_fields: tuple = (),
+    has_push: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One Pallas launch per CONTROL step: CRBA + Cholesky factor of
     ``M + dt·D`` computed IN-KERNEL (``crba_chol_soa``), then all
@@ -164,6 +187,13 @@ def pallas_control_step(
     no-``chol`` path, still in one launch (the factor build is cheap
     once it is VMEM-resident lane math; on the XLA path exact dynamics
     cost ~45x the held-factor path purely in HBM round-trips).
+
+    Production-realism features ride the same launch: ``terrain`` (an
+    analytic heightfield — trace-time constants, a few fused sin/cos
+    per contact), and ``extra`` — per-env domain-randomization scalars
+    (``dr_fields`` names them) then the 3 push-force lanes
+    (``has_push``), packed ``[B, n_extra]``. They add input lanes, not
+    launches: the whole feature set is one kernel per control step.
     """
     from jax.experimental import pallas as pl
 
@@ -172,19 +202,34 @@ def pallas_control_step(
     n_geoms = len(model.geom_body) + len(model.pair_geom_a)
     if B % tile != 0:
         raise ValueError(f"batch {B} not divisible by tile {tile}")
+    n_extra = len(dr_fields) + (3 if has_push else 0)
+    if (extra is None) != (n_extra == 0):
+        raise ValueError("extra must match dr_fields/has_push")
 
-    def kernel(qpos_ref, qvel_ref, target_ref,
-               qpos_out, qvel_out, normals_out):
+    def kernel(*refs):
+        if n_extra:
+            (qpos_ref, qvel_ref, target_ref, extra_ref,
+             qpos_out, qvel_out, normals_out) = refs
+            sub_kw, crba_kw = _split_extra(
+                [extra_ref[k, :] for k in range(n_extra)],
+                dr_fields, has_push,
+            )
+        else:
+            (qpos_ref, qvel_ref, target_ref,
+             qpos_out, qvel_out, normals_out) = refs
+            sub_kw, crba_kw = {}, {}
         qp = tuple(qpos_ref[k, :] for k in range(nq))
         qv = tuple(qvel_ref[k, :] for k in range(nv))
         tgt = tuple(target_ref[k, :] for k in range(nj))
-        chol_lanes = None if exact else crba_chol_soa(model, qp, dt)
+        chol_lanes = (
+            None if exact else crba_chol_soa(model, qp, dt, **crba_kw)
+        )
         normals = None
         for _ in range(n_substeps):
             if exact:
-                chol_lanes = crba_chol_soa(model, qp, dt)
+                chol_lanes = crba_chol_soa(model, qp, dt, **crba_kw)
             qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
-                                          kp, dt)
+                                          kp, dt, terrain=terrain, **sub_kw)
         for k in range(nq):
             qpos_out[k, :] = qp[k]
         for k in range(nv):
@@ -195,10 +240,20 @@ def pallas_control_step(
     def spec(k):
         return pl.BlockSpec((k, tile), lambda i: (0, i))
 
+    in_specs = [spec(nq), spec(nv), spec(nj)]
+    inputs = [
+        qpos.T.astype(jnp.float32),
+        qvel.T.astype(jnp.float32),
+        target.T.astype(jnp.float32),
+    ]
+    if n_extra:
+        in_specs.append(spec(n_extra))
+        inputs.append(extra.T.astype(jnp.float32))
+
     call = pl.pallas_call(
         kernel,
         grid=(B // tile,),
-        in_specs=[spec(nq), spec(nv), spec(nj)],
+        in_specs=in_specs,
         out_specs=[spec(nq), spec(nv), spec(n_geoms)],
         out_shape=[
             jax.ShapeDtypeStruct((nq, B), jnp.float32),
@@ -208,11 +263,7 @@ def pallas_control_step(
         interpret=interpret,
     )
 
-    qp_t, qv_t, normals_t = call(
-        qpos.T.astype(jnp.float32),
-        qvel.T.astype(jnp.float32),
-        target.T.astype(jnp.float32),
-    )
+    qp_t, qv_t, normals_t = call(*inputs)
     return qp_t.T, qv_t.T, normals_t.T
 
 
@@ -257,62 +308,160 @@ def make_control_step_runner(
     n_substeps: int,
     force_pallas: bool = False,
     exact: bool = False,
+    *,
+    terrain=None,
+    dr_fields: tuple = (),
+    has_push: bool = False,
 ):
     """Like :func:`make_substep_runner` but with the mass-matrix factor
-    computed IN-KERNEL: ``run(qpos, qvel, target)`` — no ``chol``
-    argument, no XLA-side CRBA/factor at all. Batched execution is one
-    :func:`pallas_control_step` launch per control step. ``exact``
-    recomputes the factor every substep (exact dynamics instead of the
-    ``reuse_mass_matrix`` held-factor approximation)."""
+    computed IN-KERNEL: ``run(qpos, qvel, target[, extra])`` — no
+    ``chol`` argument, no XLA-side CRBA/factor at all. Batched execution
+    is one :func:`pallas_control_step` launch per control step.
+    ``exact`` recomputes the factor every substep (exact dynamics
+    instead of the ``reuse_mass_matrix`` held-factor approximation).
+
+    Feature plumbing: ``terrain`` is a static analytic heightfield;
+    ``dr_fields`` names the per-env domain-randomization scalars and
+    ``has_push`` appends a 3-vector world push force — together they
+    form the runner's packed per-env ``extra`` argument
+    (``[len(dr_fields) + 3·has_push]``). When both are off the runner
+    keeps the 3-argument signature."""
     from jax.custom_batching import custom_vmap
 
     nq, nv, nj = model.nq, model.nv, model.nj
     n_geoms = len(model.geom_body) + len(model.pair_geom_a)
+    n_extra = len(dr_fields) + (3 if has_push else 0)
 
-    def run_one(qpos, qvel, target):
+    def run_one(qpos, qvel, target, extra=None):
         qp = tuple(qpos[k] for k in range(nq))
         qv = tuple(qvel[k] for k in range(nv))
         tgt = tuple(target[k] for k in range(nj))
-        chol_lanes = None if exact else crba_chol_soa(model, qp, dt)
+        if n_extra:
+            sub_kw, crba_kw = _split_extra(
+                [extra[k] for k in range(n_extra)], dr_fields, has_push
+            )
+        else:
+            sub_kw, crba_kw = {}, {}
+        chol_lanes = (
+            None if exact else crba_chol_soa(model, qp, dt, **crba_kw)
+        )
         normals = None
         for _ in range(n_substeps):
             if exact:
-                chol_lanes = crba_chol_soa(model, qp, dt)
+                chol_lanes = crba_chol_soa(model, qp, dt, **crba_kw)
             qp, qv, normals = substep_soa(model, qp, qv, tgt, chol_lanes,
-                                          kp, dt)
+                                          kp, dt, terrain=terrain, **sub_kw)
         return (
             jnp.stack(qp),
             jnp.stack(qv),
             jnp.stack(normals) if n_geoms else jnp.zeros((0,)),
         )
 
-    @custom_vmap
-    def run(qpos, qvel, target):
-        return run_one(qpos, qvel, target)
+    def run_batch(*args):
+        """Batched dispatch on whatever batch it is handed — the GLOBAL
+        env axis on one device, or a PER-SHARD slice when GSPMD
+        partitions the wrapped call below (tile choice is local)."""
+        B = args[0].shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        tile = _pick_tile(B, model) if on_tpu else B
+        if force_pallas or (on_tpu and tile is not None):
+            return pallas_control_step(
+                model, *args[:3], kp, dt, n_substeps,
+                tile=tile if tile is not None else B,
+                interpret=not on_tpu,
+                exact=exact,
+                terrain=terrain,
+                extra=args[3] if n_extra else None,
+                dr_fields=dr_fields,
+                has_push=has_push,
+            )
+        return jax.vmap(run_one)(*args)
 
-    @run.def_vmap
-    def run_vmap(axis_size, in_batched, qpos, qvel, target):
+    # GSPMD partitioning rule for the megakernel. Without it the SPMD
+    # partitioner treats the pallas_call as an opaque custom call:
+    # measured on an 8-device mesh, it ALL-GATHERS every operand and
+    # replicates the whole global batch on every device — zero scaling.
+    # With it, each device runs the kernel on its local env shard (the
+    # batch axis is dim 0 of every operand and result; all other dims
+    # are replicated), which is exactly the data-parallel layout the
+    # training stack shards envs with (parallel/mesh.py).
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_in = 4 if n_extra else 3
+    dispatch = custom_partitioning(run_batch)
+
+    def _batch_axis(arg_infos):
+        for info in arg_infos:
+            s = getattr(info, "sharding", None)
+            spec = getattr(s, "spec", None)
+            if spec is not None and len(spec) and spec[0] is not None:
+                return spec[0]
+        return None
+
+    def _infer(mesh, arg_infos, result_infos):
+        ax = _batch_axis(arg_infos)
+        return tuple(
+            NamedSharding(mesh, PartitionSpec(ax, None)) for _ in range(3)
+        )
+
+    def _partition(mesh, arg_infos, result_infos):
+        ax = _batch_axis(arg_infos)
+        arg_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(ax, None))
+            for _ in range(n_in)
+        )
+        res_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(ax, None)) for _ in range(3)
+        )
+        return mesh, run_batch, res_sh, arg_sh
+
+    dispatch.def_partition(
+        infer_sharding_from_operands=_infer,
+        partition=_partition,
+        # Shardy rule: batch factor shared by every operand/result dim 0;
+        # all feature dims are distinct factors (replicated).
+        sharding_rule=(
+            ", ".join(f"b i{k}" for k in range(n_in))
+            + " -> "
+            + ", ".join(f"b o{k}" for k in range(3))
+        ),
+    )
+
+    def dispatch_batched(axis_size, args):
+        return dispatch(*args)
+
+    def batch_args(axis_size, in_batched, args):
         def ensure(x, batched):
             if batched:
                 return x
             return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-        qpos = ensure(qpos, in_batched[0])
-        qvel = ensure(qvel, in_batched[1])
-        target = ensure(target, in_batched[2])
+        return tuple(ensure(x, b) for x, b in zip(args, in_batched))
 
-        on_tpu = jax.default_backend() == "tpu"
-        tile = _pick_tile(axis_size, model) if on_tpu else axis_size
-        if force_pallas or (on_tpu and tile is not None):
-            out = pallas_control_step(
-                model, qpos, qvel, target, kp, dt, n_substeps,
-                tile=tile if tile is not None else axis_size,
-                interpret=not on_tpu,
-                exact=exact,
+    if n_extra == 0:
+
+        @custom_vmap
+        def run(qpos, qvel, target):
+            return run_one(qpos, qvel, target)
+
+        @run.def_vmap
+        def run_vmap(axis_size, in_batched, qpos, qvel, target):
+            args = batch_args(axis_size, in_batched, (qpos, qvel, target))
+            return dispatch_batched(axis_size, args), (True, True, True)
+
+    else:
+
+        @custom_vmap
+        def run(qpos, qvel, target, extra):
+            return run_one(qpos, qvel, target, extra)
+
+        @run.def_vmap
+        def run_vmap(axis_size, in_batched, qpos, qvel, target, extra):
+            args = batch_args(
+                axis_size, in_batched, (qpos, qvel, target, extra)
             )
-        else:
-            out = jax.vmap(run_one)(qpos, qvel, target)
-        return out, (True, True, True)
+            return dispatch_batched(axis_size, args), (True, True, True)
 
     return run
 

@@ -259,3 +259,73 @@ class TestShardedPhysics:
         ts, metrics = step(ts)
         assert jnp.isfinite(metrics["losses/actor/mean"])
         assert int(ts.steps_taken) == 16 * 2
+
+    @pytest.mark.parametrize("features", [False, True],
+                             ids=["bare", "production"])
+    def test_pallas_kernel_partitions_over_mesh(self, features):
+        """The physics megakernel must PARTITION over the data axis —
+        not get all-gathered. Without a partitioning rule the SPMD
+        partitioner treats the pallas_call as an opaque custom call and
+        replicates the whole global batch on every device (measured:
+        4 all-gathers, fully-replicated output — zero scaling); the
+        custom_partitioning rule in pallas_step.py gives every device
+        its local env shard. Asserts (a) no all-gather in the compiled
+        program, (b) the output stays sharded on ``data``, and (c) the
+        sharded result equals the single-device kernel result.
+        ``production`` adds DR + push extras and terrain — the extra
+        operand must partition too. Interpret mode (CPU), tiny shapes.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nnx_ppo_tpu.envs import QuadrupedJoystick
+
+        mesh = make_mesh(8)
+        B = 16
+        kwargs = dict(
+            reuse_mass_matrix=True, substep_impl="pallas", n_substeps=1
+        )
+        if features:
+            from nnx_ppo_tpu.physics import DomainRandomization
+            from nnx_ppo_tpu.physics.terrain import rough_terrain
+
+            kwargs.update(
+                randomize=DomainRandomization(),
+                push_prob=0.5, push_force=40.0,
+                terrain=rough_terrain(seed=3),
+            )
+        env = QuadrupedJoystick(**kwargs)
+        states = jax.vmap(env.reset)(
+            jax.random.split(jax.random.key(0), B)
+        )
+        actions = 0.2 * jax.random.normal(
+            jax.random.key(1), (B, env.action_size)
+        )
+
+        def shard(x):
+            spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        states_s = jax.tree.map(shard, states)
+        actions_s = shard(actions)
+        step = jax.jit(jax.vmap(env.step))
+        compiled = step.lower(states_s, actions_s).compile()
+        assert "all-gather" not in compiled.as_text(), (
+            "megakernel operands were all-gathered — the "
+            "custom_partitioning rule did not engage"
+        )
+        out = step(states_s, actions_s)
+        assert out.data["qpos"].sharding.spec == P("data")
+
+        dev0 = jax.devices()[0]
+        out1 = jax.jit(jax.vmap(env.step))(
+            jax.tree.map(lambda x: jax.device_put(x, dev0), states),
+            jax.device_put(actions, dev0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.data["qpos"]), np.asarray(out1.data["qpos"]),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.data["qvel"]), np.asarray(out1.data["qvel"]),
+            rtol=1e-6, atol=1e-6,
+        )

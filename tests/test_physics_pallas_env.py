@@ -85,6 +85,64 @@ def test_env_pallas_matches_xla_fast_path(features):
     )
 
 
+@pytest.mark.parametrize("held", [True, False], ids=["heldM", "exactM"])
+def test_env_pallas_matches_xla_production_features(held):
+    """The production-realism feature set — per-env domain
+    randomization (all four scalar fields), random trunk pushes, and
+    rough analytic terrain — must ride the megakernel path and exactly
+    reproduce the XLA path through the env. This is the round-4 cliff
+    closure: these features previously fell off the kernel onto
+    exact-XLA (docs/physics.md)."""
+    from nnx_ppo_tpu.physics import DomainRandomization
+    from nnx_ppo_tpu.physics.terrain import rough_terrain
+
+    feat = dict(
+        randomize=DomainRandomization(damping_scale=(0.8, 1.2)),
+        push_prob=0.5,
+        push_force=40.0,
+        terrain=rough_terrain(seed=3),
+        n_substeps=3 if held else 2,
+    )
+    B, T = 8, 3 if held else 2
+    ref_env = QuadrupedJoystick(
+        reuse_mass_matrix=held, depthwise=False, substep_impl="xla",
+        **feat,
+    )
+    pl_env = QuadrupedJoystick(
+        reuse_mass_matrix=held, substep_impl="pallas", **feat
+    )
+    assert pl_env._control_runner is not None
+    assert pl_env._dr_fields == (
+        "mass_scale", "friction", "damping_scale", "gain_scale"
+    )
+    key = jax.random.key(0)
+    ref_state = _batched_states(ref_env, B, key)
+    pl_state = _batched_states(pl_env, B, key)
+    actions = 0.3 * jax.random.normal(
+        jax.random.key(1), (T, B, ref_env.action_size)
+    )
+    ref_step = jax.jit(jax.vmap(ref_env.step))
+    pl_step = jax.jit(jax.vmap(pl_env.step))
+    for t in range(T):
+        ref_state = ref_step(ref_state, actions[t])
+        pl_state = pl_step(pl_state, actions[t])
+    np.testing.assert_allclose(
+        np.asarray(pl_state.data["qpos"]),
+        np.asarray(ref_state.data["qpos"]),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_state.data["qvel"]),
+        np.asarray(ref_state.data["qvel"]),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_state.metrics["contact_force"]),
+        np.asarray(ref_state.metrics["contact_force"]),
+        rtol=5e-3, atol=5e-2,
+    )
+
+
 def test_env_pallas_unbatched_step():
     """Unbatched env.step (the render-rollout path) runs the scalar-lane
     primal, no Pallas launch needed."""
@@ -101,14 +159,26 @@ def test_env_pallas_unbatched_step():
     "kwargs,match",
     [
         (
-            dict(reuse_mass_matrix=True, randomize="DR"),
-            "DR overrides",
+            # Grid heightfields need per-lane gathers — only analytic
+            # Terrain rides the kernel; HeightGrid must be refused.
+            dict(reuse_mass_matrix=True, terrain="GRID"),
+            "analytic Terrain",
         ),
         (
             # The legacy factor-passed-in kernel still needs the held
             # factor; only the in-kernel-factor runner supports exact.
             dict(pallas_in_kernel_factor=False),
             "reuse_mass_matrix",
+        ),
+        (
+            # The legacy kernel also predates the feature lanes: DR
+            # must be refused there (the in-kernel-factor runner is
+            # the supported path for it).
+            dict(
+                reuse_mass_matrix=True, pallas_in_kernel_factor=False,
+                randomize="DR",
+            ),
+            "DR overrides",
         ),
     ],
 )
@@ -117,6 +187,14 @@ def test_env_pallas_refuses_unsupported(kwargs, match):
         from nnx_ppo_tpu.physics import DomainRandomization
 
         kwargs["randomize"] = DomainRandomization(mass_scale=(0.9, 1.1))
+    if kwargs.get("terrain") == "GRID":
+        import numpy as np
+
+        from nnx_ppo_tpu.physics.terrain import HeightGrid
+
+        kwargs["terrain"] = HeightGrid(
+            data=np.zeros((4, 4)), x0=-1.0, y0=-1.0, dx=0.5, dy=0.5
+        )
     with pytest.raises(ValueError, match=match):
         QuadrupedJoystick(substep_impl="pallas", **kwargs)
 
@@ -170,14 +248,32 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
         reuse_mass_matrix=True, joint_limits=True, self_collision=True
     )
     assert env_full._control_runner is not None
-    # Unsupported configs quietly keep the XLA path under 'auto'.
+    # Production-realism features build the in-kernel-factor runner
+    # too: they are extra input lanes, not path disqualifiers.
     from nnx_ppo_tpu.physics import DomainRandomization
+    from nnx_ppo_tpu.physics.terrain import rough_terrain
 
     env2 = QuadrupedJoystick(
         reuse_mass_matrix=True,
         randomize=DomainRandomization(mass_scale=(0.9, 1.1)),
+        terrain=rough_terrain(),
+        push_prob=0.05, push_force=30.0,
     )
-    assert env2._substep_runner is None and env2._control_runner is None
+    assert env2._control_runner is not None
+    assert env2._dr_fields == ("mass_scale", "friction", "gain_scale")
+    assert env2._kernel_push
+    # Grid heightfields stay off the kernel path under 'auto'.
+    import numpy as np_
+
+    from nnx_ppo_tpu.physics.terrain import HeightGrid
+
+    env3 = QuadrupedJoystick(
+        reuse_mass_matrix=True,
+        terrain=HeightGrid(
+            data=np_.zeros((4, 4)), x0=-1.0, y0=-1.0, dx=0.5, dy=0.5
+        ),
+    )
+    assert env3._substep_runner is None and env3._control_runner is None
     # Off-TPU, a step through 'auto' must take the XLA path and stay
     # finite (dispatch is trace-time on jax.default_backend()).
     state = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), 4))

@@ -221,6 +221,118 @@ def test_soa_full_features_match_generic():
     )
 
 
+def test_soa_production_features_match_generic():
+    """DR lanes (density/friction/damping/gain), analytic-terrain
+    contacts, and the trunk push wrench in the SoA substep must
+    reproduce the generic engine's full-feature path (one substep, same
+    held-factor semantics)."""
+    from nnx_ppo_tpu.physics.engine_soa import crba_chol_soa
+    from nnx_ppo_tpu.physics.randomize import DomainParams
+    from nnx_ppo_tpu.physics.terrain import rough_terrain
+
+    model = make_quadruped()
+    terrain = rough_terrain(seed=5, amplitude=0.06)
+    B, dt, kp = 8, 0.002, 60.0
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    base = jnp.asarray(qd.default_qpos(model))
+    qpos = jnp.tile(base, (B, 1))
+    qpos = qpos.at[:, 7:].add(0.2 * jax.random.normal(k1, (B, model.nj)))
+    qvel = 0.4 * jax.random.normal(k2, (B, model.nv))
+    target = qpos[:, 7:]
+    km, kf, kd, kg, kpu = jax.random.split(k3, 5)
+    mass_s = jax.random.uniform(km, (B,), minval=0.8, maxval=1.2)
+    fric = jax.random.uniform(kf, (B,), minval=0.4, maxval=1.0)
+    damp_s = jax.random.uniform(kd, (B,), minval=0.7, maxval=1.3)
+    gain_s = jax.random.uniform(kg, (B,), minval=0.9, maxval=1.1)
+    push = 60.0 * jax.random.normal(kpu, (B, 3)).at[:, 2].set(0.0)
+
+    def ref_one(qp, qv, tgt, m, f, d, g, pu):
+        params = DomainParams(mass_scale=m, friction=f, damping_scale=d)
+        chol = mass_matrix_factor(model, qp, dt=dt, params=params)
+        tau = jnp.concatenate([jnp.zeros(6), g * kp * (tgt - qp[7:])])
+        qacc, normals = forward_dynamics(
+            model, qp, qv, tau, dt=dt, chol=chol, terrain=terrain,
+            params=params, external_forces=[(0, qp[0:3], pu)],
+        )
+        qp, qv = integrate(model, qp, qv, qacc, dt)
+        return qp, qv, normals
+
+    ref_qp, ref_qv, ref_n = jax.jit(jax.vmap(ref_one))(
+        qpos, qvel, target, mass_s, fric, damp_s, gain_s, push
+    )
+
+    def soa_batch(qpos, qvel, target, mass_s, fric, damp_s, gain_s, push):
+        qp = tuple(qpos[:, k] for k in range(qpos.shape[1]))
+        qv = tuple(qvel[:, k] for k in range(model.nv))
+        tgt = tuple(target[:, k] for k in range(target.shape[1]))
+        chol = crba_chol_soa(
+            model, qp, dt, mass_scale=mass_s, damping_scale=damp_s
+        )
+        qp, qv, normals = substep_soa(
+            model, qp, qv, tgt, chol, kp, dt,
+            terrain=terrain, friction=fric, mass_scale=mass_s,
+            damping_scale=damp_s, gain_scale=gain_s,
+            push=(push[:, 0], push[:, 1], push[:, 2]),
+        )
+        return (
+            jnp.stack(qp, axis=1),
+            jnp.stack(qv, axis=1),
+            jnp.stack(normals, axis=1),
+        )
+
+    soa_qp, soa_qv, soa_n = jax.jit(soa_batch)(
+        qpos, qvel, target, mass_s, fric, damp_s, gain_s, push
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(soa_qp), np.asarray(ref_qp), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(soa_qv), np.asarray(ref_qv), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(soa_n), np.asarray(ref_n), rtol=1e-4, atol=1e-4
+    )
+    # The scenario must actually exercise the features: terrain
+    # contacts carry force somewhere, and the in-kernel factor with DR
+    # scales matches the engine's params factor.
+    assert float(ref_n.max()) > 0.0, "no terrain contact sampled"
+
+
+def test_crba_chol_soa_dr_scales_match_engine_factor():
+    """The in-kernel CRBA+Cholesky with density/damping scales must
+    reproduce ``mass_matrix_factor(params=...)`` entry-for-entry."""
+    from nnx_ppo_tpu.physics.engine_soa import crba_chol_soa
+    from nnx_ppo_tpu.physics.randomize import DomainParams
+
+    model = make_quadruped()
+    B, dt = 4, 0.002
+    k1, k2, k3 = jax.random.split(jax.random.key(2), 3)
+    base = jnp.asarray(qd.default_qpos(model))
+    qpos = jnp.tile(base, (B, 1)).at[:, 7:].add(
+        0.3 * jax.random.normal(k1, (B, model.nj))
+    )
+    mass_s = jax.random.uniform(k2, (B,), minval=0.7, maxval=1.3)
+    damp_s = jax.random.uniform(k3, (B,), minval=0.5, maxval=1.5)
+
+    ref = jax.vmap(
+        lambda q, m, d: mass_matrix_factor(
+            model, q, dt=dt,
+            params=DomainParams(mass_scale=m, damping_scale=d),
+        )
+    )(qpos, mass_s, damp_s)
+    qp = tuple(qpos[:, k] for k in range(qpos.shape[1]))
+    soa_chol = crba_chol_soa(
+        model, qp, dt, mass_scale=mass_s, damping_scale=damp_s
+    )
+    for i in range(model.nv):
+        for j in range(i + 1):
+            np.testing.assert_allclose(
+                np.asarray(soa_chol[i][j]), np.asarray(ref[:, i, j]),
+                rtol=2e-5, atol=2e-5,
+            )
+
+
 @pytest.mark.slow  # interpret-mode Pallas executes lane-by-lane on host
 def test_pallas_kernel_interpret_full_features():
     """The Pallas kernel plumbing must carry the extended normals layout
