@@ -77,16 +77,25 @@ def _mlp_wide(compute_dtype="bfloat16", n_envs=8192):
     return env, net, PPOConfig(n_envs=n_envs, rollout_length=20)
 
 
-def _gru_cartpole():
+def _gru_cartpole(replay_unroll=None):
+    import dataclasses
+
     env = EpisodeWrapper(CartpoleBalance(), max_len=500)
     k = jax.random.split(jax.random.key(0), 6)
+
+    def gru(i, h, key):
+        g = GRU.create(i, h, key)
+        if replay_unroll is not None:
+            g = dataclasses.replace(g, replay_unroll=replay_unroll)
+        return g
+
     actor = Sequential.create([
-        GRU.create(env.observation_size, 64, k[0]),
+        gru(env.observation_size, 64, k[0]),
         Dense.create(64, 2 * env.action_size, k[1]),
         NormalTanhSampler.create(k[2], entropy_weight=1e-3),
     ])
     critic = Sequential.create([
-        GRU.create(env.observation_size, 64, k[3]),
+        gru(env.observation_size, 64, k[3]),
         Dense.create(64, 1, k[4]),
     ])
     net = PPOAdapter.create(action=actor, value=critic)
@@ -334,6 +343,11 @@ CONFIGS = {
     "mlp_wide_bf16_8192": _mlp_wide,
     "mlp_wide_f32_8192": functools.partial(_mlp_wide, compute_dtype=None),
     "cartpole_gru": _gru_cartpole,
+    # Replay-scan unroll A/B pins (networks/recurrent.py replay_unroll).
+    "cartpole_gru_unroll1": functools.partial(_gru_cartpole,
+                                              replay_unroll=1),
+    "cartpole_gru_unroll4": functools.partial(_gru_cartpole,
+                                              replay_unroll=4),
     "dict_obs_multistream": _dict_obs_multistream,
     "locomotion_4096": _locomotion_4096,
     "heavy_physics_8192": _heavy_physics_8192,

@@ -40,6 +40,13 @@ class LSTM(StatefulModule):
     initial_c: Optional[jax.Array]
     gate_fn: Callable = static_field(default=jax.nn.sigmoid)
     activation_fn: Callable = static_field(default=jnp.tanh)
+    # Unroll factor for the replay-time scan over T: the recurrent core
+    # is a chain of tiny [B, H]×[H, G·H] matmuls whose per-iteration
+    # while-loop bookkeeping (carry copies, output dynamic-update-slice)
+    # rivals the math at H ≤ 128; unrolling K bodies per loop iteration
+    # amortizes it with zero numeric change. (The ROLLOUT scan is not
+    # unrolled — its body contains the whole env step.)
+    replay_unroll: int = static_field(default=8)
 
     @classmethod
     def create(
@@ -162,7 +169,9 @@ class LSTM(StatefulModule):
             )
             return next_carry, new_h
 
-        final, out_seq = jax.lax.scan(step, state, (xi_seq, done_seq))
+        final, out_seq = jax.lax.scan(
+            step, state, (xi_seq, done_seq), unroll=self.replay_unroll
+        )
         return out_seq, jnp.zeros(done_seq.shape), final
 
 
@@ -177,6 +186,8 @@ class GRU(StatefulModule):
     initial_h: Optional[jax.Array]
     gate_fn: Callable = static_field(default=jax.nn.sigmoid)
     activation_fn: Callable = static_field(default=jnp.tanh)
+    # See LSTM.replay_unroll.
+    replay_unroll: int = static_field(default=8)
 
     @classmethod
     def create(
@@ -272,5 +283,7 @@ class GRU(StatefulModule):
             next_h = jnp.where(done[:, None], self.reset_state(new_h), new_h)
             return next_h, new_h
 
-        final, out_seq = jax.lax.scan(step, state, (xi_seq, done_seq))
+        final, out_seq = jax.lax.scan(
+            step, state, (xi_seq, done_seq), unroll=self.replay_unroll
+        )
         return out_seq, jnp.zeros(done_seq.shape), final
