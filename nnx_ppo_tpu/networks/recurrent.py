@@ -40,13 +40,14 @@ class LSTM(StatefulModule):
     initial_c: Optional[jax.Array]
     gate_fn: Callable = static_field(default=jax.nn.sigmoid)
     activation_fn: Callable = static_field(default=jnp.tanh)
-    # Unroll factor for the replay-time scan over T: the recurrent core
-    # is a chain of tiny [B, H]×[H, G·H] matmuls whose per-iteration
-    # while-loop bookkeeping (carry copies, output dynamic-update-slice)
-    # rivals the math at H ≤ 128; unrolling K bodies per loop iteration
-    # amortizes it with zero numeric change. (The ROLLOUT scan is not
-    # unrolled — its body contains the whole env step.)
-    replay_unroll: int = static_field(default=8)
+    # Unroll factor for the replay-time scan over T. Hypothesis tested
+    # on v5e (suite `cartpole_gru_unroll*` pins, 2026-08-19): unrolling
+    # the tiny [B, H]×[H, G·H] recurrence bodies HURTS — 12.96M
+    # env-steps/s at unroll=1 vs 8.6M/7.8M at 4/8 (the larger loop body
+    # defeats XLA's cross-iteration pipelining of the small matmuls),
+    # so per-iteration scan bookkeeping is NOT the recurrent-replay
+    # floor. Default stays 1; the knob remains for other shapes.
+    replay_unroll: int = static_field(default=1)
 
     @classmethod
     def create(
@@ -187,7 +188,7 @@ class GRU(StatefulModule):
     gate_fn: Callable = static_field(default=jax.nn.sigmoid)
     activation_fn: Callable = static_field(default=jnp.tanh)
     # See LSTM.replay_unroll.
-    replay_unroll: int = static_field(default=8)
+    replay_unroll: int = static_field(default=1)
 
     @classmethod
     def create(
