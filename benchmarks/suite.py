@@ -178,6 +178,7 @@ def _legged_physics(
     substep_impl="auto",
     pallas_substeps_per_kernel=1,
     pallas_in_kernel_factor=True,
+    shuffle_minibatches=True,
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -272,7 +273,8 @@ def _legged_physics(
             [Normalizer.create(env.observation_size), net]
         )
     return env, net, PPOConfig(
-        n_envs=n_envs, rollout_length=20, combine_advantages=True
+        n_envs=n_envs, rollout_length=20, combine_advantages=True,
+        shuffle_minibatches=shuffle_minibatches,
     )
 
 
@@ -483,6 +485,13 @@ CONFIGS = {
     "quadruped_2048_dr_pallas": functools.partial(
         _legged_physics, "quadruped", randomize=True,
         reuse_mass_matrix=True, substep_impl="pallas",
+    ),
+    # Contiguous-slice minibatching (PPOConfig.shuffle_minibatches=False):
+    # drops the per-minibatch permutation gathers + their layout copies
+    # (~16% of the step in the device profile) for fixed env blocks.
+    "quadruped_2048_pallas_noshuffle": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        substep_impl="pallas", shuffle_minibatches=False,
     ),
     # The env construction users get with NO knobs: QuadrupedJoystick()
     # — exact dynamics (no held factor), 'auto' dispatch. On TPU this

@@ -145,6 +145,59 @@ class TestShardedParity:
             atol=1e-5,
         )
 
+    def test_unshuffled_minibatches_run_sharded(self):
+        """``shuffle_minibatches=False`` (contiguous shard-local slices
+        instead of permutation gathers — the measured +21% knob) must
+        run on the mesh with finite losses and advance the step count;
+        every env must still be consumed exactly once per epoch (the
+        slices partition the batch)."""
+        mesh = make_mesh(8)
+        env = EpisodeWrapper(MoveToCenterEnv(), 50)
+        net = make_mlp_actor_critic(
+            2, 2, [16, 16], [16, 16], jax.random.key(0), normalize_obs=True
+        )
+        config = PPOConfig(
+            n_envs=32, rollout_length=6, n_epochs=2, n_minibatches=4,
+            shuffle_minibatches=False,
+        )
+        opt = make_optimizer(config.learning_rate)
+        ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
+        step = jax.jit(
+            functools.partial(ppo_step, env, config=config, optimizer=opt,
+                              mesh=mesh)
+        )
+        ts, metrics = step(ts)
+        assert jnp.isfinite(metrics["losses/actor/mean"])
+        assert int(ts.steps_taken) == 32 * 6
+        # Normalizer consumed the full rollout exactly once.
+        assert float(ts.networks[0].counter) == 32 * 6
+
+    @pytest.mark.slow
+    def test_unshuffled_minibatches_converge(self):
+        """Statistical gate for the +21% knob: training with contiguous
+        (unshuffled) minibatches reaches the same MoveToCenter reward
+        band as the shuffled default."""
+        from nnx_ppo_tpu.algorithms import EvalConfig, TrainConfig, train_ppo
+
+        env = EpisodeWrapper(MoveToCenterEnv(
+            reward_falloff=1.0, border_radius=10.0), 200)
+        net = make_mlp_actor_critic(
+            2, 2, [64, 64], [64, 64], jax.random.key(3), normalize_obs=True
+        )
+        cfg = TrainConfig(
+            ppo=PPOConfig(n_envs=256, rollout_length=20, n_epochs=4,
+                          n_minibatches=4, shuffle_minibatches=False),
+            eval=EvalConfig(every_steps=500_000, n_envs=64,
+                            max_episode_length=100,
+                            logging_percentiles=None),
+            seed=3,
+        )
+        result = train_ppo(env, net, cfg, total_steps=1_500_000)
+        best = max(
+            float(e["episode_reward/mean"]) for e in result.eval_history
+        )
+        assert best > 80.0, f"unshuffled minibatches underperform: best={best}"
+
     @pytest.mark.slow
     def test_sharded_multi_minibatch_converges(self):
         """Statistical gate: shard-local minibatching (the intentional
