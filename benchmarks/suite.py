@@ -513,6 +513,11 @@ CONFIGS = {
         rough=True, normalize=True, reuse_mass_matrix=True,
         substep_impl="pallas",
     ),
+    "quadruped_2048_production_noshuffle": functools.partial(
+        _legged_physics, "quadruped", randomize=True, push=True,
+        rough=True, normalize=True, reuse_mass_matrix=True,
+        shuffle_minibatches=False,
+    ),
     # BASELINE config-fidelity rows: #4 = Go1 class @ 4096 envs WITH
     # obs normalization; #5 = humanoid @ 8192 envs.
     "quadruped_4096_norm": functools.partial(
