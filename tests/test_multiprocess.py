@@ -72,6 +72,77 @@ print(f"RESULT {proc_id} {checksum:.6e} {actor:.6e}", flush=True)
 """
 
 
+_KERNEL_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1]); coord = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=coord, num_processes=2, process_id=proc_id,
+)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from nnx_ppo_tpu.envs import QuadrupedJoystick
+from nnx_ppo_tpu.parallel import make_mesh
+from nnx_ppo_tpu.parallel.mesh import global_device_put
+
+# The physics megakernel (interpret mode; the custom_partitioning
+# DISPATCH is the real one) on a mesh spanning both processes: each
+# process's 4 devices must run the kernel on their local env shards
+# with no cross-process gather.
+mesh = make_mesh()
+env = QuadrupedJoystick(
+    reuse_mass_matrix=True, substep_impl="pallas", n_substeps=1
+)
+B = 16
+keys = jax.random.split(jax.random.key(5), B)
+# Both processes build the same full host value deterministically,
+# then place only their addressable shards.
+host_states = jax.jit(jax.vmap(env.reset))(keys)
+host_actions = 0.2 * jax.random.normal(
+    jax.random.key(6), (B, env.action_size)
+)
+
+def shard_tree(t):
+    # global_device_put handles typed PRNG-key leaves itself (the env
+    # state carries per-env keys).
+    return jax.tree.map(
+        lambda x: global_device_put(
+            x,
+            NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1)))),
+        ),
+        t,
+    )
+
+states_g = shard_tree(host_states)
+actions_g = shard_tree(host_actions)
+step = jax.jit(jax.vmap(env.step))
+out = step(states_g, actions_g)
+jax.block_until_ready(out)
+
+# Ground truth: the same step run process-locally on the full batch.
+ref = jax.jit(jax.vmap(env.step))(host_states, host_actions)
+ref_qpos = np.asarray(ref.data["qpos"])
+for shard in out.data["qpos"].addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(shard.data), ref_qpos[shard.index], rtol=1e-6, atol=1e-6
+    )
+local_sum = float(sum(
+    abs(np.asarray(s.data)).sum()
+    for s in out.data["qpos"].addressable_shards
+))
+print(f"RESULT {proc_id} OK {local_sum:.6e}", flush=True)
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -120,3 +191,57 @@ def test_two_process_mesh_ppo_step(tmp_path):
     assert set(results) == {0, 1}, f"missing results: {outs}"
     # Params replicated across processes => identical checksums.
     assert results[0] == results[1], results
+
+
+@pytest.mark.slow
+def test_two_process_mesh_pallas_megakernel(tmp_path):
+    """The physics megakernel's custom_partitioning rule across a
+    PROCESS boundary: 2 processes × 4 virtual devices, one global
+    8-device mesh, env batch sharded — each process runs the kernel
+    (interpret-mode body, real partitioned dispatch) on its local
+    shards and the results match a process-local full-batch reference
+    shard-for-shard. This is the CPU stand-in for the multi-host slice
+    case the single-process mesh tests cannot cover."""
+    port = _free_port()
+    coord = f"localhost:{port}"
+    script = tmp_path / "kernel_worker.py"
+    script.write_text(_KERNEL_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                _, pid, ok, local_sum = line.split()
+                results[int(pid)] = (ok, local_sum)
+    assert set(results) == {0, 1}, f"missing results: {outs}"
+    assert all(ok == "OK" for ok, _ in results.values()), results
+    # Each process holds half the envs; the shard-local sums must
+    # differ (if they were equal, both processes would be holding the
+    # same — i.e. replicated — data, meaning the partition rule did
+    # not engage).
+    assert results[0][1] != results[1][1], results
