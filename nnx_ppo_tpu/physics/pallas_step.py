@@ -428,8 +428,7 @@ def make_control_step_runner(
         ),
     )
 
-    def dispatch_batched(axis_size, args):
-        return dispatch(*args)
+
 
     def batch_args(axis_size, in_batched, args):
         def ensure(x, batched):
@@ -448,7 +447,7 @@ def make_control_step_runner(
         @run.def_vmap
         def run_vmap(axis_size, in_batched, qpos, qvel, target):
             args = batch_args(axis_size, in_batched, (qpos, qvel, target))
-            return dispatch_batched(axis_size, args), (True, True, True)
+            return dispatch(*args), (True, True, True)
 
     else:
 
@@ -461,7 +460,7 @@ def make_control_step_runner(
             args = batch_args(
                 axis_size, in_batched, (qpos, qvel, target, extra)
             )
-            return dispatch_batched(axis_size, args), (True, True, True)
+            return dispatch(*args), (True, True, True)
 
     return run
 
