@@ -126,6 +126,10 @@ class DistillationConfig:
     logging_percentiles: Optional[tuple[int, ...]] = None
     # Time-fused student replay (see PPOConfig.fused_replay).
     fused_replay: bool = True
+    # Contiguous-slice minibatching (see PPOConfig.shuffle_minibatches;
+    # same measured trade-off — the permutation gathers are the same
+    # program structure in distillation_step).
+    shuffle_minibatches: bool = True
 
 
 @dataclass(frozen=True)

@@ -218,16 +218,59 @@ def distillation_step(
 
     params, student_rest = partition_params(distillation_state.student)
     grad_fn = jax.grad(distillation_loss, has_aux=True)
-    all_indices = minibatch_permutations(
-        new_key, n_envs, config.n_epochs, config.n_minibatches, n_shards
-    )
+    if config.shuffle_minibatches:
+        selectors = minibatch_permutations(
+            new_key, n_envs, config.n_epochs, config.n_minibatches,
+            n_shards
+        )
 
-    def update_step(carry, inds):
+        def take_time(x, inds):
+            return x[:, inds]
+
+        def take_batch(x, inds):
+            return x[inds]
+
+    else:
+        # Contiguous shard-local minibatch slices — same measured
+        # trade-off as PPOConfig.shuffle_minibatches=False (the
+        # permutation gathers are the same program structure here).
+        per_block = n_envs // n_shards
+        if per_block % config.n_minibatches != 0:
+            raise ValueError(
+                "per-shard env count must be divisible by n_minibatches "
+                f"(got {per_block} % {config.n_minibatches})"
+            )
+        k_quota = per_block // config.n_minibatches
+        selectors = jnp.tile(
+            jnp.arange(config.n_minibatches), config.n_epochs
+        )
+
+        def _block_slice(x, m, axis):
+            shape = x.shape
+            xs = x.reshape(
+                shape[:axis] + (n_shards, per_block) + shape[axis + 1:]
+            )
+            sl = jax.lax.dynamic_slice_in_dim(
+                xs, m * k_quota, k_quota, axis=axis + 1
+            )
+            return sl.reshape(
+                shape[:axis] + (n_shards * k_quota,) + shape[axis + 1:]
+            )
+
+        def take_time(x, m):
+            return _block_slice(x, m, 1)
+
+        def take_batch(x, m):
+            return _block_slice(x, m, 0)
+
+    def update_step(carry, sel):
         params, opt_state = carry
-        minibatch_data = jax.tree.map(lambda x: x[:, inds], rollout_data)
+        minibatch_data = jax.tree.map(
+            lambda x: take_time(x, sel), rollout_data
+        )
         minibatch_data = constrain_time_batch(minibatch_data, mesh)
         student_state_subset = jax.tree.map(
-            lambda x: x[inds], distillation_state.student_states
+            lambda x: take_batch(x, sel), distillation_state.student_states
         )
         student_state_subset = constrain_batch(student_state_subset, mesh)
         grads, loss_metrics = grad_fn(
@@ -243,7 +286,7 @@ def distillation_step(
         return (params, opt_state), loss_metrics
 
     (params, opt_state), loss_metrics = jax.lax.scan(
-        update_step, (params, distillation_state.opt_state), all_indices
+        update_step, (params, distillation_state.opt_state), selectors
     )
     student = combine(params, student_rest)
 

@@ -60,6 +60,27 @@ class TestDistillationStep:
         assert jnp.isfinite(metrics["losses/distillation_nll/mean"])
         assert int(state.steps_taken) == 2 * CFG.n_envs * CFG.rollout_length
 
+    def test_unshuffled_minibatches(self):
+        """``shuffle_minibatches=False`` (contiguous-slice minibatching,
+        mirroring PPOConfig) runs with finite losses and the same step
+        accounting."""
+        import dataclasses
+
+        env = EpisodeWrapper(MoveToCenterEnv(), 50)
+        teacher, student = make_pair()
+        cfg = dataclasses.replace(CFG, shuffle_minibatches=False)
+        state = new_distillation_state(env, teacher, student, cfg.n_envs,
+                                       seed=0)
+        opt = make_optimizer(cfg.learning_rate)
+        step = jax.jit(
+            functools.partial(
+                distillation_step, env, teacher, config=cfg, optimizer=opt
+            )
+        )
+        state, metrics = step(state)
+        assert jnp.isfinite(metrics["losses/distillation_nll/mean"])
+        assert int(state.steps_taken) == cfg.n_envs * cfg.rollout_length
+
     def test_teacher_unchanged_student_changes(self):
         env = EpisodeWrapper(MoveToCenterEnv(), 50)
         teacher, student = make_pair()
