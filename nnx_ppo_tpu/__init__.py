@@ -7,7 +7,7 @@ recurrences, and first-class data-parallel device meshes
 (``jax.sharding``) the reference lacks.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.6.0"
 
 from nnx_ppo_tpu import algorithms, core, envs, networks, ops, parallel, wrappers
 
