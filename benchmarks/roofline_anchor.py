@@ -104,8 +104,11 @@ def main() -> None:
     if analytic_per_step is None:
         raise SystemExit(f"no roofline.csv row for {config!r}")
 
+    # Plain union of keys: csv.DictReader fills short/missing trailing
+    # columns with None, so filtering None-valued keys out of fieldnames
+    # would make DictWriter (extrasaction='raise') reject those rows.
     fields = sorted(
-        {k for r in rows for k in r if r.get(k) not in (None,)},
+        {k for r in rows for k in r},
         key=lambda k: (k not in ("config", "n_envs", "train_sps"), k),
     )
     with open(roofline_csv, "w", newline="") as f:

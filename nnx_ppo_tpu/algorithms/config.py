@@ -54,6 +54,20 @@ class PPOConfig:
     # Networks with real temporal carries (LSTM/GRU/Delay/AR1/graphs)
     # automatically fall back to the exact scan path.
     fused_replay: bool = True
+    # Memory layout of the rollout buffers the update loop consumes:
+    # "time_major" keeps the rollout scan's native [T, B, ...] stacking
+    # (per-minibatch gathers then transpose their output back to
+    # time-major — an extra layout-copy chain measured at ~6% of the
+    # quadruped megakernel step); "batch_major" transposes the loss's
+    # working set ONCE per iteration to [B, T, ...] so each minibatch
+    # gather is a contiguous-row gather whose native output layout IS
+    # the replay layout, and the replay itself runs as one flat [B·T]
+    # forward (networks.types.replay_sequence_flat — requires
+    # fused_replay and a fully replay-time-static network). "auto"
+    # (default) picks batch_major exactly when that requirement holds.
+    # Identical minibatch membership and losses either way (up to float
+    # reduction order).
+    rollout_layout: str = "auto"
     # Random minibatch shuffling per epoch (the reference's semantics;
     # default). ``False`` replaces the per-minibatch permutation
     # GATHERS with contiguous (shard-local) dynamic slices of the
@@ -126,6 +140,10 @@ class DistillationConfig:
     logging_percentiles: Optional[tuple[int, ...]] = None
     # Time-fused student replay (see PPOConfig.fused_replay).
     fused_replay: bool = True
+    # Rollout-buffer layout for the update loop (see
+    # PPOConfig.rollout_layout; "auto" = batch-major when the student
+    # is fully replay-time-static and fused_replay is on).
+    rollout_layout: str = "auto"
     # Contiguous-slice minibatching (see PPOConfig.shuffle_minibatches;
     # same measured trade-off — the permutation gathers are the same
     # program structure in distillation_step).

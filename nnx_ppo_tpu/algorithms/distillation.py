@@ -46,14 +46,25 @@ from nnx_ppo_tpu.algorithms.types import (
     LoggingLevel,
     RLEnv,
 )
-from nnx_ppo_tpu.core.struct import combine, partition_params, tree_where
-from nnx_ppo_tpu.networks.types import ModuleState, StatefulModule
+from nnx_ppo_tpu.algorithms.ppo import resolve_batch_major
+from nnx_ppo_tpu.core.struct import (
+    combine,
+    partition_params,
+    pytree_dataclass,
+    static_field,
+    tree_where,
+)
+from nnx_ppo_tpu.networks.types import (
+    ModuleState,
+    StatefulModule,
+    replay_sequence_flat,
+)
 from nnx_ppo_tpu.parallel.mesh import (
     constrain_batch,
     constrain_time_batch,
     shard_training_state,
 )
-from nnx_ppo_tpu.parallel.permutation import minibatch_permutations
+from nnx_ppo_tpu.parallel.permutation import minibatch_plan
 
 
 def default_distillation_config() -> DistillationTrainConfig:
@@ -124,11 +135,77 @@ def distillation_unroll_env(
     return final_student_state, final_teacher_state, final_env_state, rollout_data
 
 
+@pytree_dataclass
+class DistillationMinibatch:
+    """Exactly the rollout-buffer slices the distillation loss consumes
+    (obs + done + the teacher's extras) — the per-minibatch gathers skip
+    the student outputs / rewards / next_obs / metrics entirely. Same
+    layout contract as ``ppo.ReplayMinibatch``: sequence leaves are
+    ``[T, B, ...]``, or FLAT ``[B·T, ...]`` when ``batch_major`` (the
+    flat replay consumes gather rows with no reshape; ``done`` is
+    dropped there — a replay-time-static student has no carries to
+    reset)."""
+
+    obs: Any
+    done: Any  # [T, B] (time-major) / None (batch-major) / static T int
+    teacher_rollout_extras: Any
+    batch_major: bool = static_field(default=False)
+    time_steps: int = static_field(default=0)  # T, batch-major only
+
+    @classmethod
+    def from_rollout(
+        cls, rollout_data: DistillationTransition, batch_major: bool = False
+    ) -> "DistillationMinibatch":
+        seq = (rollout_data.obs, rollout_data.teacher_rollout_extras)
+        T = rollout_data.done.shape[0]
+        if batch_major:
+
+            def to_flat(x):
+                return jnp.swapaxes(x, 0, 1).reshape(
+                    (x.shape[1] * T,) + x.shape[2:]
+                )
+
+            seq = jax.tree.map(to_flat, seq)
+            return cls(
+                obs=seq[0],
+                done=None,
+                teacher_rollout_extras=seq[1],
+                batch_major=True,
+                time_steps=T,
+            )
+        return cls(
+            obs=seq[0],
+            done=rollout_data.done,
+            teacher_rollout_extras=seq[1],
+        )
+
+    def constrain(self, mesh) -> "DistillationMinibatch":
+        seq_constrain = constrain_batch if self.batch_major else constrain_time_batch
+        return dataclasses.replace(
+            self,
+            obs=seq_constrain(self.obs, mesh),
+            done=seq_constrain(self.done, mesh),
+            teacher_rollout_extras=seq_constrain(self.teacher_rollout_extras, mesh),
+        )
+
+    def gather(self, sel, take_seq, take_batch, take_flat=None):
+        del take_batch  # no per-env leaves in this view
+        take_big = take_flat if self.batch_major else take_seq
+        return dataclasses.replace(
+            self,
+            obs=jax.tree.map(lambda x: take_big(x, sel), self.obs),
+            done=None if self.done is None else take_seq(self.done, sel),
+            teacher_rollout_extras=jax.tree.map(
+                lambda x: take_big(x, sel), self.teacher_rollout_extras
+            ),
+        )
+
+
 def distillation_loss(
     student_params: Any,
     student_rest: Any,
     student_state: ModuleState,
-    rollout_data: DistillationTransition,
+    rollout_data: Any,  # DistillationTransition stack or DistillationMinibatch
     logging_level: LoggingLevel,
     fused_replay: bool = False,
 ) -> tuple[jax.Array, dict[str, Any]]:
@@ -137,16 +214,26 @@ def distillation_loss(
     (reference ``distillation.py:160-233``).
 
     ``fused_replay`` runs the replay layer-wise over time
-    (``StatefulModule.replay_sequence`` — see ``ppo.ppo_loss``)."""
+    (``StatefulModule.replay_sequence`` — see ``ppo.ppo_loss``); a
+    batch-major :class:`DistillationMinibatch` runs it as one flat
+    ``[B·T]`` forward (:func:`replay_sequence_flat`)."""
     student = combine(student_params, student_rest)
-    rollout_data = jax.lax.stop_gradient(rollout_data)
+    if isinstance(rollout_data, DistillationTransition):
+        rollout_data = DistillationMinibatch.from_rollout(rollout_data)
+    view = jax.lax.stop_gradient(rollout_data)
 
-    if fused_replay:
+    if view.batch_major:
+        output_seq, scanned_reg_loss, _ = replay_sequence_flat(
+            student, student_state, view.obs, view.time_steps,
+            view.teacher_rollout_extras,
+        )
+        loglikelihoods = output_seq.loglikelihoods
+    elif fused_replay:
         output_seq, scanned_reg_loss, _ = student.replay_sequence(
             student_state,
-            rollout_data.obs,
-            rollout_data.done,
-            rollout_data.teacher_rollout_extras,
+            view.obs,
+            view.done,
+            view.teacher_rollout_extras,
         )
         loglikelihoods = output_seq.loglikelihoods
     else:
@@ -162,7 +249,7 @@ def distillation_loss(
         _, (loglikelihoods, scanned_reg_loss) = jax.lax.scan(
             step_network,
             student_state,
-            (rollout_data.obs, rollout_data.done, rollout_data.teacher_rollout_extras),
+            (view.obs, view.done, view.teacher_rollout_extras),
         )
 
     per_head_nll = jax.tree.map(lambda ll: -jnp.mean(ll), loglikelihoods)
@@ -218,57 +305,27 @@ def distillation_step(
 
     params, student_rest = partition_params(distillation_state.student)
     grad_fn = jax.grad(distillation_loss, has_aux=True)
-    if config.shuffle_minibatches:
-        selectors = minibatch_permutations(
-            new_key, n_envs, config.n_epochs, config.n_minibatches,
-            n_shards
-        )
-
-        def take_time(x, inds):
-            return x[:, inds]
-
-        def take_batch(x, inds):
-            return x[inds]
-
-    else:
-        # Contiguous shard-local minibatch slices — same measured
-        # trade-off as PPOConfig.shuffle_minibatches=False (the
-        # permutation gathers are the same program structure here).
-        per_block = n_envs // n_shards
-        if per_block % config.n_minibatches != 0:
-            raise ValueError(
-                "per-shard env count must be divisible by n_minibatches "
-                f"(got {per_block} % {config.n_minibatches})"
-            )
-        k_quota = per_block // config.n_minibatches
-        selectors = jnp.tile(
-            jnp.arange(config.n_minibatches), config.n_epochs
-        )
-
-        def _block_slice(x, m, axis):
-            shape = x.shape
-            xs = x.reshape(
-                shape[:axis] + (n_shards, per_block) + shape[axis + 1:]
-            )
-            sl = jax.lax.dynamic_slice_in_dim(
-                xs, m * k_quota, k_quota, axis=axis + 1
-            )
-            return sl.reshape(
-                shape[:axis] + (n_shards * k_quota,) + shape[axis + 1:]
-            )
-
-        def take_time(x, m):
-            return _block_slice(x, m, 1)
-
-        def take_batch(x, m):
-            return _block_slice(x, m, 0)
+    # Slim per-minibatch view + extraction plan shared with ppo_step
+    # (parallel/permutation.minibatch_plan); same measured trade-offs
+    # as PPOConfig.shuffle_minibatches / rollout_layout.
+    batch_major = resolve_batch_major(config, distillation_state.student)
+    replay_view = DistillationMinibatch.from_rollout(rollout_data, batch_major)
+    replay_view = replay_view.constrain(mesh)
+    selectors, take_seq, take_batch, take_flat = minibatch_plan(
+        n_envs,
+        config.n_epochs,
+        config.n_minibatches,
+        n_shards,
+        shuffle=config.shuffle_minibatches,
+        key=new_key,
+        batch_major=batch_major,
+        time_steps=config.rollout_length,
+    )
 
     def update_step(carry, sel):
         params, opt_state = carry
-        minibatch_data = jax.tree.map(
-            lambda x: take_time(x, sel), rollout_data
-        )
-        minibatch_data = constrain_time_batch(minibatch_data, mesh)
+        minibatch_data = replay_view.gather(sel, take_seq, take_batch, take_flat)
+        minibatch_data = minibatch_data.constrain(mesh)
         student_state_subset = jax.tree.map(
             lambda x: take_batch(x, sel), distillation_state.student_states
         )
@@ -323,6 +380,31 @@ def distillation_step(
         steps_taken=total_steps,
     )
     return distillation_state, metrics
+
+
+def distillation_multi_step(
+    env: RLEnv,
+    teacher: StatefulModule,
+    distillation_state: DistillationState,
+    config: DistillationConfig,
+    optimizer: optax.GradientTransformation,
+    n_steps: int,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> tuple[DistillationState, dict[str, Any]]:
+    """``n_steps`` distillation iterations fused into ONE XLA program
+    (the dispatch-amortizing analogue of ``ppo.ppo_multi_step``).
+    Returns the last iteration's metrics."""
+
+    def body(state, _):
+        state, metrics = distillation_step(
+            env, teacher, state, config, optimizer, mesh
+        )
+        return state, metrics
+
+    distillation_state, metrics_seq = jax.lax.scan(
+        body, distillation_state, None, length=n_steps
+    )
+    return distillation_state, jax.tree.map(lambda m: m[-1], metrics_seq)
 
 
 def new_distillation_state(

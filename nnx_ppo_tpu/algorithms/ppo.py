@@ -47,15 +47,26 @@ from nnx_ppo_tpu.algorithms.types import (
     TrainingState,
     Transition,
 )
-from nnx_ppo_tpu.core.struct import combine, partition_params, tree_where
-from nnx_ppo_tpu.networks.types import StatefulModule, expand_state_over_time
+from nnx_ppo_tpu.core.struct import (
+    combine,
+    partition_params,
+    pytree_dataclass,
+    static_field,
+    tree_where,
+)
+from nnx_ppo_tpu.networks.types import (
+    StatefulModule,
+    advance_state_keys,
+    expand_state_over_time,
+    replay_sequence_flat,
+)
 from nnx_ppo_tpu.ops.gae import gae  # re-exported; reference ppo.py:351
 from nnx_ppo_tpu.parallel.mesh import (
     constrain_batch,
     constrain_time_batch,
     shard_training_state,
 )
-from nnx_ppo_tpu.parallel.permutation import minibatch_permutations
+from nnx_ppo_tpu.parallel.permutation import minibatch_permutations, minibatch_plan
 
 
 class BoundedDispatch:
@@ -164,6 +175,157 @@ def new_training_state(
     return training_state
 
 
+@pytree_dataclass
+class ReplayMinibatch:
+    """Exactly the rollout-buffer slices the PPO loss consumes.
+
+    Built ONCE per iteration from the full ``Transition`` stack, then
+    gathered per minibatch — so the E·M per-minibatch gathers move only
+    loss-relevant bytes. Compared to gathering the raw ``Transition``
+    (the round-≤4 layout), this drops the stored actions /
+    value_estimates / env metrics AND the full ``next_obs`` history
+    (the loss only ever reads ``next_obs[-1]``, for the T+1 value
+    bootstrap — kept here as the per-env ``last_next_obs``): on the
+    quadruped flagship that roughly halves per-minibatch gather
+    traffic.
+
+    ``batch_major`` (static) declares the layout:
+
+    * False — sequence leaves keep the rollout scan's native
+      ``[T, B, ...]`` stacking.
+    * True (``PPOConfig.rollout_layout``) — the big replay inputs
+      (``obs``, ``rollout_extras``, ``old_loglikelihoods``) are stored
+      FLAT ``[B·T, ...]`` (row ``b·T + t`` = env b, step t): the
+      per-minibatch gather emits rows that feed the flat replay forward
+      (:func:`replay_sequence_flat`) with zero transposes or retiling
+      reshapes — both measured as real copies on TPU (tiled minor
+      dims). Only the tiny per-key GAE arrays (``rewards``/``done``/
+      ``truncated``) stay 2-D ``[B, T]``.
+    """
+
+    obs: Any
+    old_loglikelihoods: Any  # per-key tree; reference ppo.py:441
+    rewards: Any
+    done: jax.Array
+    truncated: jax.Array
+    rollout_extras: Any
+    last_next_obs: Any  # [B, ...] — next_obs at t = T-1
+    # Pre-advanced per-env carry for the T+1 bootstrap forward (flat
+    # replay only): the T-long sequential key-split chain hoisted out
+    # of the E·M minibatch losses (networks.types.advance_state_keys).
+    bootstrap_net_state: Any = None
+    batch_major: bool = static_field(default=False)
+
+    @classmethod
+    def from_rollout(
+        cls, rollout_data: "Transition", batch_major: bool = False
+    ) -> "ReplayMinibatch":
+        """Project a time-major ``[T, B, ...]`` Transition stack down to
+        the loss's working set (flattening the replay inputs once when
+        ``batch_major``)."""
+        big = (
+            rollout_data.obs,
+            rollout_data.network_output.loglikelihoods,
+            rollout_data.rollout_extras,
+        )
+        small = (
+            rollout_data.rewards,
+            rollout_data.done,
+            rollout_data.truncated,
+        )
+        if batch_major:
+            T = rollout_data.done.shape[0]
+
+            def to_flat(x):
+                return jnp.swapaxes(x, 0, 1).reshape(
+                    (x.shape[1] * T,) + x.shape[2:]
+                )
+
+            big = jax.tree.map(to_flat, big)
+            small = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), small)
+        return cls(
+            obs=big[0],
+            old_loglikelihoods=big[1],
+            rollout_extras=big[2],
+            rewards=small[0],
+            done=small[1],
+            truncated=small[2],
+            last_next_obs=jax.tree.map(lambda x: x[-1], rollout_data.next_obs),
+            batch_major=batch_major,
+        )
+
+    def constrain(self, mesh) -> "ReplayMinibatch":
+        """Pin the env axis of every leaf to the ``data`` mesh axis.
+        Flat ``[B·T]`` leaves shard on dim 0 too: rows are env-major,
+        so each shard's row block is exactly its env block's steps."""
+        seq_constrain = constrain_batch if self.batch_major else constrain_time_batch
+        big_constrain = constrain_batch if self.batch_major else constrain_time_batch
+        return dataclasses.replace(
+            self,
+            obs=big_constrain(self.obs, mesh),
+            old_loglikelihoods=big_constrain(self.old_loglikelihoods, mesh),
+            rollout_extras=big_constrain(self.rollout_extras, mesh),
+            rewards=seq_constrain(self.rewards, mesh),
+            done=seq_constrain(self.done, mesh),
+            truncated=seq_constrain(self.truncated, mesh),
+            last_next_obs=constrain_batch(self.last_next_obs, mesh),
+            bootstrap_net_state=constrain_batch(self.bootstrap_net_state, mesh),
+        )
+
+    def gather(
+        self, sel: jax.Array, take_seq, take_batch, take_flat=None
+    ) -> "ReplayMinibatch":
+        """Extract one minibatch (extractors from
+        :func:`nnx_ppo_tpu.parallel.permutation.minibatch_plan`)."""
+        take_big = take_flat if self.batch_major else take_seq
+        return dataclasses.replace(
+            self,
+            obs=jax.tree.map(lambda x: take_big(x, sel), self.obs),
+            old_loglikelihoods=jax.tree.map(
+                lambda x: take_big(x, sel), self.old_loglikelihoods
+            ),
+            rollout_extras=jax.tree.map(
+                lambda x: take_big(x, sel), self.rollout_extras
+            ),
+            rewards=jax.tree.map(lambda x: take_seq(x, sel), self.rewards),
+            done=take_seq(self.done, sel),
+            truncated=take_seq(self.truncated, sel),
+            last_next_obs=jax.tree.map(
+                lambda x: take_batch(x, sel), self.last_next_obs
+            ),
+            bootstrap_net_state=jax.tree.map(
+                lambda x: take_batch(x, sel), self.bootstrap_net_state
+            ),
+        )
+
+
+def resolve_batch_major(config: Any, networks: StatefulModule) -> bool:
+    """Resolve ``rollout_layout`` against the network (``config`` is any
+    config exposing ``rollout_layout``/``fused_replay`` —
+    PPOConfig or DistillationConfig).
+
+    Batch-major needs the whole-network flat replay
+    (:func:`replay_sequence_flat`), which requires ``fused_replay`` and
+    a fully replay-time-static network; ``auto`` picks it exactly then.
+    """
+    layout = config.rollout_layout
+    if layout == "time_major":
+        return False
+    static = config.fused_replay and networks.replay_time_static
+    if layout == "batch_major":
+        if not static:
+            raise ValueError(
+                "rollout_layout='batch_major' requires fused_replay=True "
+                "and a fully replay-time-static network (recurrent "
+                "modules need the time-major scan replay); use "
+                "'time_major' or 'auto'."
+            )
+        return True
+    if layout != "auto":
+        raise ValueError(f"unknown rollout_layout {layout!r}")
+    return static
+
+
 def ppo_step(
     env: RLEnv,
     training_state: TrainingState,
@@ -199,66 +361,41 @@ def ppo_step(
     params, net_rest = partition_params(training_state.networks)
     grad_fn = jax.grad(ppo_loss, has_aux=True)
 
-    if config.shuffle_minibatches:
-        # Pre-compute all minibatch indices for all epochs (shard-local
-        # permutations on a mesh — see parallel/permutation.py). The
-        # per-minibatch gather is the FUSED form of shuffled
-        # minibatching (an explicit permute-per-epoch + slice variant
-        # measured SLOWER: the materialized permuted buffer costs more
-        # than the gathers it saves).
-        selectors = minibatch_permutations(
-            perm_key, n_envs, config.n_epochs, config.n_minibatches,
-            n_shards
+    # Project the rollout stack down to the loss's working set once per
+    # iteration (optionally transposed to batch-major — see
+    # ReplayMinibatch), then extract E·M minibatches from the view. With
+    # shuffle, the per-minibatch gather is the FUSED form of shuffled
+    # minibatching (an explicit permute-per-epoch + slice variant
+    # measured SLOWER: the materialized permuted buffer costs more than
+    # the gathers it saves).
+    batch_major = resolve_batch_major(config, training_state.networks)
+    replay_view = ReplayMinibatch.from_rollout(rollout_data, batch_major)
+    if batch_major:
+        # Hoist the T+1-bootstrap key advance (T sequential splits) out
+        # of the E·M minibatch losses; gather commutes with the per-env
+        # advance, so the minibatch rows are exact.
+        replay_view = dataclasses.replace(
+            replay_view,
+            bootstrap_net_state=advance_state_keys(
+                training_state.network_states, config.rollout_length
+            ),
         )
-
-        def take_time(x, inds):
-            return x[:, inds]
-
-        def take_batch(x, inds):
-            return x[inds]
-
-    else:
-        # Contiguous shard-local minibatch slices — no permutation
-        # gathers, no post-gather layout copies (together ~16% of the
-        # step in the quadruped device profile; +21% measured
-        # train_sps). Minibatch m = rows [m·k, (m+1)·k) of every shard
-        # block; fresh rollouts still re-randomize content each
-        # iteration.
-        per_block = n_envs // n_shards
-        if per_block % config.n_minibatches != 0:
-            raise ValueError(
-                "per-shard env count must be divisible by n_minibatches "
-                f"(got {per_block} % {config.n_minibatches})"
-            )
-        k_quota = per_block // config.n_minibatches
-        selectors = jnp.tile(
-            jnp.arange(config.n_minibatches), config.n_epochs
-        )
-
-        def _block_slice(x, m, axis):
-            shape = x.shape
-            xs = x.reshape(
-                shape[:axis] + (n_shards, per_block) + shape[axis + 1:]
-            )
-            sl = jax.lax.dynamic_slice_in_dim(
-                xs, m * k_quota, k_quota, axis=axis + 1
-            )
-            return sl.reshape(
-                shape[:axis] + (n_shards * k_quota,) + shape[axis + 1:]
-            )
-
-        def take_time(x, m):
-            return _block_slice(x, m, 1)
-
-        def take_batch(x, m):
-            return _block_slice(x, m, 0)
+    replay_view = replay_view.constrain(mesh)
+    selectors, take_seq, take_batch, take_flat = minibatch_plan(
+        n_envs,
+        config.n_epochs,
+        config.n_minibatches,
+        n_shards,
+        shuffle=config.shuffle_minibatches,
+        key=perm_key,
+        batch_major=batch_major,
+        time_steps=config.rollout_length,
+    )
 
     def update_step(carry, sel):
         params, opt_state = carry
-        minibatch_data = jax.tree.map(
-            lambda x: take_time(x, sel), rollout_data
-        )
-        minibatch_data = constrain_time_batch(minibatch_data, mesh)
+        minibatch_data = replay_view.gather(sel, take_seq, take_batch, take_flat)
+        minibatch_data = minibatch_data.constrain(mesh)
         net_state_subset = jax.tree.map(
             lambda x: take_batch(x, sel), training_state.network_states
         )
@@ -358,7 +495,7 @@ def ppo_loss(
     params: Any,
     net_rest: Any,
     network_state: Any,
-    rollout_data: Transition,
+    rollout_data: Any,  # Transition stack or ReplayMinibatch view
     clip_range: float,
     normalize_advantages: bool,
     combine_advantages: bool,
@@ -381,17 +518,37 @@ def ppo_loss(
     layers batch over ``[T·B]`` on the MXU (all stochastic draws are
     snapshotted in the stored extras), recurrent layers scan only their
     own core with input projections hoisted out of the loop. Losses are
-    identical to the step-wise scan up to float reduction order."""
-    networks = combine(params, net_rest)
-    rollout_data = jax.lax.stop_gradient(rollout_data)
+    identical to the step-wise scan up to float reduction order.
 
-    if fused_replay:
+    ``rollout_data`` may be a full time-major ``Transition`` stack or a
+    :class:`ReplayMinibatch` view (the form ``ppo_step`` passes). A
+    batch-major view runs the replay as one flat ``[B·T]`` forward
+    (:func:`replay_sequence_flat`); every reduction below is
+    layout-free, and GAE reshapes only the tiny per-key ``[B, T]``
+    reward/value/flag arrays."""
+    networks = combine(params, net_rest)
+    if isinstance(rollout_data, Transition):
+        rollout_data = ReplayMinibatch.from_rollout(rollout_data)
+    view = jax.lax.stop_gradient(rollout_data)
+    batch_major = view.batch_major
+
+    if batch_major:
+        B_mb, T = view.done.shape
+        network_output, scanned_reg_loss, final_net_state = replay_sequence_flat(
+            networks,
+            network_state,
+            view.obs,
+            T,
+            view.rollout_extras,
+            final_state=view.bootstrap_net_state,
+        )
+    elif fused_replay:
         network_output, scanned_reg_loss, final_net_state = (
             networks.replay_sequence(
                 network_state,
-                rollout_data.obs,
-                rollout_data.done,
-                rollout_data.rollout_extras,
+                view.obs,
+                view.done,
+                view.rollout_extras,
             )
         )
     else:
@@ -406,30 +563,46 @@ def ppo_loss(
         final_net_state, (network_output, scanned_reg_loss) = jax.lax.scan(
             step_network,
             network_state,
-            (rollout_data.obs, rollout_data.done, rollout_data.rollout_extras),
+            (view.obs, view.done, view.rollout_extras),
         )
 
-    last_obs = jax.tree.map(lambda x: x[-1], rollout_data.next_obs)
     # T+1 bootstrap: rollout_extras=None → samplers take the fresh-sample
     # path (only value_estimates are consumed).
-    out_last = networks(final_net_state, last_obs)
+    out_last = networks(final_net_state, view.last_next_obs)
     network_output_last = out_last.output
 
     # Flat done/truncated are shared across all reward keys.
-    done = rollout_data.done
-    truncated = rollout_data.truncated
+    done = view.done
+    truncated = view.truncated
     if isinstance(done, jax.Array):
-        done = jax.tree.map(lambda _: done, rollout_data.rewards)
-        truncated = jax.tree.map(lambda _: truncated, rollout_data.rewards)
+        done = jax.tree.map(lambda _: done, view.rewards)
+        truncated = jax.tree.map(lambda _: truncated, view.rewards)
 
+    gae_tm = functools.partial(
+        gae,
+        lambda_=gae_lambda,
+        gamma=discounting_factor,
+        allow_pallas=single_device,
+    )
+    gae_fn = gae_tm
+    if batch_major:
+        # GAE needs a leading time axis; the per-key reward/value/flag
+        # arrays are tiny (~minibatch·T floats) next to the obs/extras
+        # buffers the flat layout keeps reshape-free. values arrive
+        # flat [B·T] from the replay; advantages return flat to match.
+        def gae_fn(rew, val_flat, val_last, d, tr):
+            val_tb = val_flat.reshape(B_mb, T).swapaxes(0, 1)
+            adv_tb = gae_tm(
+                rew.swapaxes(0, 1),
+                val_tb,
+                val_last,
+                d.swapaxes(0, 1),
+                tr.swapaxes(0, 1),
+            )
+            return adv_tb.swapaxes(0, 1).reshape(B_mb * T)
     advantages = jax.tree.map(
-        functools.partial(
-            gae,
-            lambda_=gae_lambda,
-            gamma=discounting_factor,
-            allow_pallas=single_device,
-        ),
-        rollout_data.rewards,
+        gae_fn,
+        view.rewards,
         network_output.value_estimates,
         network_output_last.value_estimates,
         done,
@@ -474,7 +647,7 @@ def ppo_loss(
     actor_losses = jax.tree.map(
         clipped_loss,
         network_output.loglikelihoods,
-        rollout_data.network_output.loglikelihoods,
+        view.old_loglikelihoods,
         advantages,
     )
     critic_losses = jax.tree.map(
@@ -502,7 +675,7 @@ def ppo_loss(
                 jnp.abs(jnp.exp(new_ll - old_ll) - 1.0) > clip_range
             ),
             network_output.loglikelihoods,
-            rollout_data.network_output.loglikelihoods,
+            view.old_loglikelihoods,
         )
     if LoggingLevel.CRITIC_EXTRA in logging_level:
         loss_metrics["losses/advantages"] = advantages

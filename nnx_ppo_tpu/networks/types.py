@@ -227,6 +227,84 @@ def _normalize_reg(reg_seq: jax.Array, T: int, B: int) -> jax.Array:
     return jnp.broadcast_to(reg_seq, (T, B))
 
 
+def replay_sequence_flat(
+    module: StatefulModule,
+    module_state: ModuleState,
+    obs_flat: Any,
+    n_steps: int,
+    extras_flat: Any,
+    final_state: ModuleState = None,
+) -> tuple[Any, jax.Array, ModuleState]:
+    """Fused replay over **flattened batch-major** ``[B·T, ...]``
+    buffers as ONE batched forward.
+
+    Requires ``module.replay_time_static`` (the whole network): the
+    output at (b, t) depends only on (params, input, stored extras), so
+    neither time ordering nor the per-env ``done`` resets matter — the
+    entire replay collapses to a single MXU-sized forward with no
+    ``vmap``-over-time axis at all. Row ``b·T + t`` holds env b's step
+    t; its PRNG key is ``split(k_b, T)[t]`` — exactly the key the
+    time-major fused path (:meth:`StatefulModule.replay_sequence`)
+    hands step t, so the two paths produce identical outputs (modulo
+    float reduction order in per-call regularization means).
+
+    Inputs are FLAT, not ``[B, T, ...]``, on purpose: TPU arrays are
+    tiled on their two minor dims, so reshaping a gathered
+    ``[B_mb, T, f]`` minibatch to ``[B_mb·T, f]`` materializes a real
+    retiling copy (measured ~4% of the quadruped megakernel step).
+    ``ppo_loss`` instead stores the rollout working set pre-flattened
+    and gathers flat row indices, so the gather output feeds the
+    forward directly.
+
+    Returns ``(output_flat [B·T, ...], reg_flat [B·T], final_state)``;
+    ``final_state`` advances key leaves by the same chained next-key
+    split as the sequential scan (T+1 bootstrap parity), or pass a
+    pre-advanced carry (:func:`advance_state_keys`, hoisted out of
+    per-minibatch losses) to skip the in-loss chain.
+    """
+    if not module.replay_time_static:
+        raise ValueError(
+            "replay_sequence_flat requires a fully replay-time-static "
+            "network (every module's replay output independent of carry "
+            "values); use the time-major replay_sequence path for "
+            "recurrent networks."
+        )
+    T = n_steps
+    N = jax.tree.leaves(obs_flat)[0].shape[0]
+    B = N // T
+
+    def expand(leaf: jax.Array) -> jax.Array:
+        if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            # [B] keys -> [B, T] per-step subkeys -> flat [B*T]:
+            # index b*T + t holds split(k_b, T)[t].
+            return jax.vmap(lambda k: jax.random.split(k, T))(leaf).reshape(B * T)
+        # Non-key carries of a static module are constant across steps:
+        # tile each env's value over its T samples.
+        return jnp.repeat(leaf, T, axis=0)
+
+    flat_state = jax.tree.map(expand, module_state)
+    out = module(flat_state, obs_flat, extras_flat)
+    reg = out.regularization_loss
+    reg_flat = jnp.broadcast_to(reg, (N,)) if reg.ndim == 0 else reg
+    if final_state is None:
+        final_state = advance_state_keys(module_state, T)
+    return out.output, reg_flat, final_state
+
+
+def advance_state_keys(module_state: ModuleState, n_steps: int) -> ModuleState:
+    """Advance every PRNG-key leaf of a per-env carry by ``n_steps``
+    chained next-key splits (:func:`advance_per_env_keys`); non-key
+    leaves pass through unchanged. The fused-replay final-carry rule,
+    exposed so the T-long sequential split chain can be hoisted out of
+    per-minibatch losses."""
+    return jax.tree.map(
+        lambda x: advance_per_env_keys(x, n_steps)
+        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+        else x,
+        module_state,
+    )
+
+
 def expand_state_over_time(module_state: ModuleState, unroll_length: int) -> Any:
     """Per-step carry trees ``[T, ...]`` for the time-fused replay.
 

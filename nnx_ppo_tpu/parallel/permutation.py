@@ -17,6 +17,8 @@ env-to-shard assignment is itself arbitrary and i.i.d.
 
 from __future__ import annotations
 
+from typing import Any, Callable, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -73,3 +75,119 @@ def minibatch_permutations(
     return all_indices.reshape(n_epochs * n_minibatches, minibatch_size).astype(
         jnp.int32
     )
+
+
+def minibatch_plan(
+    n_envs: int,
+    n_epochs: int,
+    n_minibatches: int,
+    n_shards: int = 1,
+    *,
+    shuffle: bool = True,
+    key: Optional[jax.Array] = None,
+    batch_major: bool = False,
+    time_steps: Optional[int] = None,
+) -> tuple[
+    jax.Array,
+    Callable[[Any, jax.Array], Any],
+    Callable[[Any, jax.Array], Any],
+    Optional[Callable[[Any, jax.Array], Any]],
+]:
+    """Build the E·M minibatch extraction plan shared by ``ppo_step``
+    and ``distillation_step``.
+
+    Returns ``(selectors, take_seq, take_batch, take_flat)``:
+
+    * ``selectors`` — ``[n_epochs · n_minibatches, ...]`` scan xs; one
+      row per gradient update.
+    * ``take_seq(leaf, sel)`` — extract one minibatch from a rollout
+      *sequence* buffer: ``[T, B, ...]`` when time-major (env axis 1),
+      ``[B, T, ...]`` when ``batch_major`` (env axis 0 — the gather's
+      native output layout, see ``PPOConfig.rollout_layout``).
+    * ``take_batch(leaf, sel)`` — extract one minibatch from a per-env
+      ``[B, ...]`` leaf (network carries, bootstrap obs).
+    * ``take_flat(leaf, sel)`` — extract one minibatch from a
+      FLATTENED batch-major ``[B·T, ...]`` buffer (row ``b·T + t`` =
+      env b, step t): the gathered rows feed the flat replay with no
+      reshape/retile at all. Only built when ``batch_major`` and
+      ``time_steps`` are given; ``None`` otherwise.
+
+    ``shuffle=True`` uses :func:`minibatch_permutations` (per-minibatch
+    permutation gathers — the measured fused-optimal form of shuffled
+    minibatching). ``shuffle=False`` takes contiguous shard-local
+    dynamic slices instead (no gathers; minibatches are fixed env
+    blocks within an iteration).
+    """
+    T = time_steps
+    if shuffle:
+        if key is None:
+            raise ValueError("shuffle=True requires a permutation key")
+        selectors = minibatch_permutations(
+            key, n_envs, n_epochs, n_minibatches, n_shards
+        )
+
+        def take_batch(x, inds):
+            return x[inds]
+
+        take_flat = None
+        if batch_major:
+            take_seq = take_batch
+            if T is not None:
+
+                def take_flat(x, inds):
+                    rows = (inds[:, None] * T + jnp.arange(T)).reshape(-1)
+                    return x[rows]
+
+        else:
+
+            def take_seq(x, inds):
+                return x[:, inds]
+
+        return selectors, take_seq, take_batch, take_flat
+
+    # Contiguous shard-local minibatch slices — no permutation gathers,
+    # no post-gather layout copies (together ~16% of the step in the
+    # quadruped device profile; +21% measured train_sps). Minibatch m =
+    # rows [m·k, (m+1)·k) of every shard block; fresh rollouts still
+    # re-randomize content each iteration.
+    if n_envs % n_shards != 0:
+        raise ValueError(
+            f"n_envs ({n_envs}) must be divisible by n_shards ({n_shards})"
+        )
+    per_block = n_envs // n_shards
+    if per_block % n_minibatches != 0:
+        raise ValueError(
+            "per-shard env count must be divisible by n_minibatches "
+            f"(got {per_block} % {n_minibatches})"
+        )
+    k_quota = per_block // n_minibatches
+    selectors = jnp.tile(jnp.arange(n_minibatches), n_epochs)
+
+    def _block_slice(x, m, axis):
+        shape = x.shape
+        xs = x.reshape(shape[:axis] + (n_shards, per_block) + shape[axis + 1:])
+        sl = jax.lax.dynamic_slice_in_dim(xs, m * k_quota, k_quota, axis=axis + 1)
+        return sl.reshape(
+            shape[:axis] + (n_shards * k_quota,) + shape[axis + 1:]
+        )
+
+    def take_seq(x, m):
+        return _block_slice(x, m, 0 if batch_major else 1)
+
+    def take_batch(x, m):
+        return _block_slice(x, m, 0)
+
+    take_flat = None
+    if batch_major and T is not None:
+        # Flat rows of a contiguous env block are themselves contiguous:
+        # envs [m·k, (m+1)·k) of shard s occupy flat rows
+        # [s·per_block·T + m·k·T, ... + k·T).
+        def take_flat(x, m):
+            shape = x.shape
+            xs = x.reshape((n_shards, per_block * T) + shape[1:])
+            sl = jax.lax.dynamic_slice_in_dim(
+                xs, m * k_quota * T, k_quota * T, axis=1
+            )
+            return sl.reshape((n_shards * k_quota * T,) + shape[1:])
+
+    return selectors, take_seq, take_batch, take_flat

@@ -392,12 +392,23 @@ def make_control_step_runner(
     dispatch = custom_partitioning(run_batch)
 
     def _batch_axis(arg_infos):
+        # Collect the dim-0 mesh axis of EVERY operand and require
+        # agreement: operands arriving sharded on different axes would
+        # mean an upstream layout bug, and silently force-resharding
+        # the rest onto the first one would mask it.
+        axes = set()
         for info in arg_infos:
             s = getattr(info, "sharding", None)
             spec = getattr(s, "spec", None)
             if spec is not None and len(spec) and spec[0] is not None:
-                return spec[0]
-        return None
+                axes.add(spec[0])
+        if len(axes) > 1:
+            raise ValueError(
+                "physics megakernel operands are sharded on different "
+                f"mesh axes along the env (dim-0) axis: {sorted(map(str, axes))}; "
+                "all batched operands must share one data axis"
+            )
+        return axes.pop() if axes else None
 
     def _infer(mesh, arg_infos, result_infos):
         ax = _batch_axis(arg_infos)

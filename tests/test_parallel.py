@@ -67,7 +67,10 @@ def _run_step(mesh, n_shards_for_perm_match, *, n_epochs=1, n_minibatches=1,
     run must be fed the SAME shard-local permutations the mesh run uses
     — pass ``n_shards_for_perm_match`` > 1 to force that (isolates GSPMD
     numerics from the shard-local-minibatch semantic deviation)."""
-    import nnx_ppo_tpu.algorithms.ppo as ppo_mod
+    # Patch the permutation module itself: ppo_step routes through
+    # parallel.permutation.minibatch_plan, which resolves
+    # minibatch_permutations from its own module globals at call time.
+    import nnx_ppo_tpu.parallel.permutation as ppo_mod
 
     env = EpisodeWrapper(MoveToCenterEnv(), 50)
     net = make_mlp_actor_critic(
