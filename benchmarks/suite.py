@@ -215,8 +215,16 @@ def _legged_physics(
     if rough:
         from nnx_ppo_tpu.physics import rough_terrain
 
-        extra["terrain"] = rough_terrain(seed=2, amplitude=0.03,
-                                         wavelength=1.5)
+        terr = rough_terrain(seed=2, amplitude=0.03, wavelength=1.5)
+        if rough == "grid":
+            # Data terrain: the same rough field sampled onto a
+            # HeightGrid (the MJCF-hfield workload class) — rides the
+            # megakernel as frozen per-control-step tangent-plane lanes
+            # (tests/test_heightgrid_kernel.py).
+            from nnx_ppo_tpu.physics.terrain import HeightGrid
+
+            terr = HeightGrid.sample(terr, extent=12.0, n=256)
+        extra["terrain"] = terr
         if height_scan:
             extra["height_scan"] = height_scan
     if randomize:
@@ -471,6 +479,17 @@ CONFIGS = {
     ),
     "quadruped_2048_rough_xla": functools.partial(
         _legged_physics, "quadruped", rough=True, substep_impl="xla"
+    ),
+    # Data (HeightGrid/hfield) terrain — previously pinned to the XLA
+    # substep chain (75k); now rides the megakernel via frozen
+    # tangent-plane lanes. The _xla row keeps the exact per-substep
+    # bilinear reference semantics measurable.
+    "quadruped_2048_heightgrid": functools.partial(
+        _legged_physics, "quadruped", rough="grid", reuse_mass_matrix=True,
+    ),
+    "quadruped_2048_heightgrid_xla": functools.partial(
+        _legged_physics, "quadruped", rough="grid", substep_impl="xla",
+        reuse_mass_matrix=True,
     ),
     # Per-env domain randomization: the traced mass/friction/damping/
     # gain overrides. Since round 4 these are extra lanes of the

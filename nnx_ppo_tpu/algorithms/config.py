@@ -62,7 +62,7 @@ class PPOConfig:
     # working set ONCE per iteration to [B, T, ...] so each minibatch
     # gather is a contiguous-row gather whose native output layout IS
     # the replay layout, and the replay itself runs as one flat [B·T]
-    # forward (networks.types.replay_sequence_flat — requires
+    # forward (networks.types.replay_sequence_nd — requires
     # fused_replay and a fully replay-time-static network). "auto"
     # (default) picks batch_major exactly when that requirement holds.
     # Identical minibatch membership and losses either way (up to float

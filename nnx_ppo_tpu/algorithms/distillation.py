@@ -57,7 +57,7 @@ from nnx_ppo_tpu.core.struct import (
 from nnx_ppo_tpu.networks.types import (
     ModuleState,
     StatefulModule,
-    replay_sequence_flat,
+    replay_sequence_nd,
 )
 from nnx_ppo_tpu.parallel.mesh import (
     constrain_batch,
@@ -141,43 +141,26 @@ class DistillationMinibatch:
     (obs + done + the teacher's extras) — the per-minibatch gathers skip
     the student outputs / rewards / next_obs / metrics entirely. Same
     layout contract as ``ppo.ReplayMinibatch``: sequence leaves are
-    ``[T, B, ...]``, or FLAT ``[B·T, ...]`` when ``batch_major`` (the
-    flat replay consumes gather rows with no reshape; ``done`` is
-    dropped there — a replay-time-static student has no carries to
-    reset)."""
+    ``[T, B, ...]``, or ``[B, T, ...]`` when ``batch_major`` (gather
+    rows feed the ND replay forward directly)."""
 
     obs: Any
-    done: Any  # [T, B] (time-major) / None (batch-major) / static T int
+    done: jax.Array  # [T, B] time-major; [B, T] batch-major
     teacher_rollout_extras: Any
     batch_major: bool = static_field(default=False)
-    time_steps: int = static_field(default=0)  # T, batch-major only
 
     @classmethod
     def from_rollout(
         cls, rollout_data: DistillationTransition, batch_major: bool = False
     ) -> "DistillationMinibatch":
-        seq = (rollout_data.obs, rollout_data.teacher_rollout_extras)
-        T = rollout_data.done.shape[0]
-        if batch_major:
-
-            def to_flat(x):
-                return jnp.swapaxes(x, 0, 1).reshape(
-                    (x.shape[1] * T,) + x.shape[2:]
-                )
-
-            seq = jax.tree.map(to_flat, seq)
-            return cls(
-                obs=seq[0],
-                done=None,
-                teacher_rollout_extras=seq[1],
-                batch_major=True,
-                time_steps=T,
-            )
-        return cls(
-            obs=seq[0],
-            done=rollout_data.done,
-            teacher_rollout_extras=seq[1],
+        seq = (
+            rollout_data.obs,
+            rollout_data.done,
+            rollout_data.teacher_rollout_extras,
         )
+        if batch_major:
+            seq = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), seq)
+        return cls(*seq, batch_major=batch_major)
 
     def constrain(self, mesh) -> "DistillationMinibatch":
         seq_constrain = constrain_batch if self.batch_major else constrain_time_batch
@@ -188,15 +171,14 @@ class DistillationMinibatch:
             teacher_rollout_extras=seq_constrain(self.teacher_rollout_extras, mesh),
         )
 
-    def gather(self, sel, take_seq, take_batch, take_flat=None):
+    def gather(self, sel, take_seq, take_batch):
         del take_batch  # no per-env leaves in this view
-        take_big = take_flat if self.batch_major else take_seq
         return dataclasses.replace(
             self,
-            obs=jax.tree.map(lambda x: take_big(x, sel), self.obs),
-            done=None if self.done is None else take_seq(self.done, sel),
+            obs=jax.tree.map(lambda x: take_seq(x, sel), self.obs),
+            done=take_seq(self.done, sel),
             teacher_rollout_extras=jax.tree.map(
-                lambda x: take_big(x, sel), self.teacher_rollout_extras
+                lambda x: take_seq(x, sel), self.teacher_rollout_extras
             ),
         )
 
@@ -215,16 +197,16 @@ def distillation_loss(
 
     ``fused_replay`` runs the replay layer-wise over time
     (``StatefulModule.replay_sequence`` — see ``ppo.ppo_loss``); a
-    batch-major :class:`DistillationMinibatch` runs it as one flat
-    ``[B·T]`` forward (:func:`replay_sequence_flat`)."""
+    batch-major :class:`DistillationMinibatch` runs it as one ND-batched
+    ``[B, T]`` forward (:func:`replay_sequence_nd`)."""
     student = combine(student_params, student_rest)
     if isinstance(rollout_data, DistillationTransition):
         rollout_data = DistillationMinibatch.from_rollout(rollout_data)
     view = jax.lax.stop_gradient(rollout_data)
 
     if view.batch_major:
-        output_seq, scanned_reg_loss, _ = replay_sequence_flat(
-            student, student_state, view.obs, view.time_steps,
+        output_seq, scanned_reg_loss, _ = replay_sequence_nd(
+            student, student_state, view.obs, view.done.shape[1],
             view.teacher_rollout_extras,
         )
         loglikelihoods = output_seq.loglikelihoods
@@ -311,7 +293,7 @@ def distillation_step(
     batch_major = resolve_batch_major(config, distillation_state.student)
     replay_view = DistillationMinibatch.from_rollout(rollout_data, batch_major)
     replay_view = replay_view.constrain(mesh)
-    selectors, take_seq, take_batch, take_flat = minibatch_plan(
+    selectors, take_seq, take_batch = minibatch_plan(
         n_envs,
         config.n_epochs,
         config.n_minibatches,
@@ -319,12 +301,11 @@ def distillation_step(
         shuffle=config.shuffle_minibatches,
         key=new_key,
         batch_major=batch_major,
-        time_steps=config.rollout_length,
     )
 
     def update_step(carry, sel):
         params, opt_state = carry
-        minibatch_data = replay_view.gather(sel, take_seq, take_batch, take_flat)
+        minibatch_data = replay_view.gather(sel, take_seq, take_batch)
         minibatch_data = minibatch_data.constrain(mesh)
         student_state_subset = jax.tree.map(
             lambda x: take_batch(x, sel), distillation_state.student_states

@@ -58,7 +58,7 @@ from nnx_ppo_tpu.networks.types import (
     StatefulModule,
     advance_state_keys,
     expand_state_over_time,
-    replay_sequence_flat,
+    replay_sequence_nd,
 )
 from nnx_ppo_tpu.ops.gae import gae  # re-exported; reference ppo.py:351
 from nnx_ppo_tpu.parallel.mesh import (
@@ -193,14 +193,14 @@ class ReplayMinibatch:
 
     * False — sequence leaves keep the rollout scan's native
       ``[T, B, ...]`` stacking.
-    * True (``PPOConfig.rollout_layout``) — the big replay inputs
-      (``obs``, ``rollout_extras``, ``old_loglikelihoods``) are stored
-      FLAT ``[B·T, ...]`` (row ``b·T + t`` = env b, step t): the
-      per-minibatch gather emits rows that feed the flat replay forward
-      (:func:`replay_sequence_flat`) with zero transposes or retiling
-      reshapes — both measured as real copies on TPU (tiled minor
-      dims). Only the tiny per-key GAE arrays (``rewards``/``done``/
-      ``truncated``) stay 2-D ``[B, T]``.
+    * True (``PPOConfig.rollout_layout``) — every sequence leaf is
+      stored ``[B, T, ...]`` (transposed once per iteration): the
+      per-minibatch gather is a contiguous-row gather whose output
+      feeds the ND-batched replay forward
+      (:func:`replay_sequence_nd`) directly — no per-minibatch
+      transpose and no flatten reshape (an explicit ``[B·T]`` flat
+      layout was measured FAR slower: TPU gathers want few large rows,
+      and the flatten reshape retiles).
     """
 
     obs: Any
@@ -221,50 +221,37 @@ class ReplayMinibatch:
         cls, rollout_data: "Transition", batch_major: bool = False
     ) -> "ReplayMinibatch":
         """Project a time-major ``[T, B, ...]`` Transition stack down to
-        the loss's working set (flattening the replay inputs once when
+        the loss's working set (transposing sequence leaves once when
         ``batch_major``)."""
-        big = (
+        seq = (
             rollout_data.obs,
             rollout_data.network_output.loglikelihoods,
             rollout_data.rollout_extras,
-        )
-        small = (
             rollout_data.rewards,
             rollout_data.done,
             rollout_data.truncated,
         )
         if batch_major:
-            T = rollout_data.done.shape[0]
-
-            def to_flat(x):
-                return jnp.swapaxes(x, 0, 1).reshape(
-                    (x.shape[1] * T,) + x.shape[2:]
-                )
-
-            big = jax.tree.map(to_flat, big)
-            small = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), small)
+            seq = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), seq)
         return cls(
-            obs=big[0],
-            old_loglikelihoods=big[1],
-            rollout_extras=big[2],
-            rewards=small[0],
-            done=small[1],
-            truncated=small[2],
+            obs=seq[0],
+            old_loglikelihoods=seq[1],
+            rollout_extras=seq[2],
+            rewards=seq[3],
+            done=seq[4],
+            truncated=seq[5],
             last_next_obs=jax.tree.map(lambda x: x[-1], rollout_data.next_obs),
             batch_major=batch_major,
         )
 
     def constrain(self, mesh) -> "ReplayMinibatch":
-        """Pin the env axis of every leaf to the ``data`` mesh axis.
-        Flat ``[B·T]`` leaves shard on dim 0 too: rows are env-major,
-        so each shard's row block is exactly its env block's steps."""
+        """Pin the env axis of every leaf to the ``data`` mesh axis."""
         seq_constrain = constrain_batch if self.batch_major else constrain_time_batch
-        big_constrain = constrain_batch if self.batch_major else constrain_time_batch
         return dataclasses.replace(
             self,
-            obs=big_constrain(self.obs, mesh),
-            old_loglikelihoods=big_constrain(self.old_loglikelihoods, mesh),
-            rollout_extras=big_constrain(self.rollout_extras, mesh),
+            obs=seq_constrain(self.obs, mesh),
+            old_loglikelihoods=seq_constrain(self.old_loglikelihoods, mesh),
+            rollout_extras=seq_constrain(self.rollout_extras, mesh),
             rewards=seq_constrain(self.rewards, mesh),
             done=seq_constrain(self.done, mesh),
             truncated=seq_constrain(self.truncated, mesh),
@@ -272,20 +259,17 @@ class ReplayMinibatch:
             bootstrap_net_state=constrain_batch(self.bootstrap_net_state, mesh),
         )
 
-    def gather(
-        self, sel: jax.Array, take_seq, take_batch, take_flat=None
-    ) -> "ReplayMinibatch":
+    def gather(self, sel: jax.Array, take_seq, take_batch) -> "ReplayMinibatch":
         """Extract one minibatch (extractors from
         :func:`nnx_ppo_tpu.parallel.permutation.minibatch_plan`)."""
-        take_big = take_flat if self.batch_major else take_seq
         return dataclasses.replace(
             self,
-            obs=jax.tree.map(lambda x: take_big(x, sel), self.obs),
+            obs=jax.tree.map(lambda x: take_seq(x, sel), self.obs),
             old_loglikelihoods=jax.tree.map(
-                lambda x: take_big(x, sel), self.old_loglikelihoods
+                lambda x: take_seq(x, sel), self.old_loglikelihoods
             ),
             rollout_extras=jax.tree.map(
-                lambda x: take_big(x, sel), self.rollout_extras
+                lambda x: take_seq(x, sel), self.rollout_extras
             ),
             rewards=jax.tree.map(lambda x: take_seq(x, sel), self.rewards),
             done=take_seq(self.done, sel),
@@ -305,7 +289,7 @@ def resolve_batch_major(config: Any, networks: StatefulModule) -> bool:
     PPOConfig or DistillationConfig).
 
     Batch-major needs the whole-network flat replay
-    (:func:`replay_sequence_flat`), which requires ``fused_replay`` and
+    (:func:`replay_sequence_nd`), which requires ``fused_replay`` and
     a fully replay-time-static network; ``auto`` picks it exactly then.
     """
     layout = config.rollout_layout
@@ -381,7 +365,7 @@ def ppo_step(
             ),
         )
     replay_view = replay_view.constrain(mesh)
-    selectors, take_seq, take_batch, take_flat = minibatch_plan(
+    selectors, take_seq, take_batch = minibatch_plan(
         n_envs,
         config.n_epochs,
         config.n_minibatches,
@@ -389,12 +373,11 @@ def ppo_step(
         shuffle=config.shuffle_minibatches,
         key=perm_key,
         batch_major=batch_major,
-        time_steps=config.rollout_length,
     )
 
     def update_step(carry, sel):
         params, opt_state = carry
-        minibatch_data = replay_view.gather(sel, take_seq, take_batch, take_flat)
+        minibatch_data = replay_view.gather(sel, take_seq, take_batch)
         minibatch_data = minibatch_data.constrain(mesh)
         net_state_subset = jax.tree.map(
             lambda x: take_batch(x, sel), training_state.network_states
@@ -522,9 +505,9 @@ def ppo_loss(
 
     ``rollout_data`` may be a full time-major ``Transition`` stack or a
     :class:`ReplayMinibatch` view (the form ``ppo_step`` passes). A
-    batch-major view runs the replay as one flat ``[B·T]`` forward
-    (:func:`replay_sequence_flat`); every reduction below is
-    layout-free, and GAE reshapes only the tiny per-key ``[B, T]``
+    batch-major view runs the replay as one ND-batched ``[B, T]``
+    forward (:func:`replay_sequence_nd`); every reduction below is
+    layout-free, and GAE transposes only the tiny per-key ``[B, T]``
     reward/value/flag arrays."""
     networks = combine(params, net_rest)
     if isinstance(rollout_data, Transition):
@@ -533,8 +516,8 @@ def ppo_loss(
     batch_major = view.batch_major
 
     if batch_major:
-        B_mb, T = view.done.shape
-        network_output, scanned_reg_loss, final_net_state = replay_sequence_flat(
+        T = view.done.shape[1]
+        network_output, scanned_reg_loss, final_net_state = replay_sequence_nd(
             networks,
             network_state,
             view.obs,
@@ -588,18 +571,16 @@ def ppo_loss(
     if batch_major:
         # GAE needs a leading time axis; the per-key reward/value/flag
         # arrays are tiny (~minibatch·T floats) next to the obs/extras
-        # buffers the flat layout keeps reshape-free. values arrive
-        # flat [B·T] from the replay; advantages return flat to match.
-        def gae_fn(rew, val_flat, val_last, d, tr):
-            val_tb = val_flat.reshape(B_mb, T).swapaxes(0, 1)
+        # buffers the batch-major layout keeps transpose-free.
+        def gae_fn(rew, val, val_last, d, tr):
             adv_tb = gae_tm(
                 rew.swapaxes(0, 1),
-                val_tb,
+                val.swapaxes(0, 1),
                 val_last,
                 d.swapaxes(0, 1),
                 tr.swapaxes(0, 1),
             )
-            return adv_tb.swapaxes(0, 1).reshape(B_mb * T)
+            return adv_tb.swapaxes(0, 1)
     advantages = jax.tree.map(
         gae_fn,
         view.rewards,

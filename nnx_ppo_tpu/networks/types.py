@@ -227,36 +227,34 @@ def _normalize_reg(reg_seq: jax.Array, T: int, B: int) -> jax.Array:
     return jnp.broadcast_to(reg_seq, (T, B))
 
 
-def replay_sequence_flat(
+def replay_sequence_nd(
     module: StatefulModule,
     module_state: ModuleState,
-    obs_flat: Any,
+    obs_bt: Any,
     n_steps: int,
-    extras_flat: Any,
+    extras_bt: Any,
     final_state: ModuleState = None,
 ) -> tuple[Any, jax.Array, ModuleState]:
-    """Fused replay over **flattened batch-major** ``[B·T, ...]``
-    buffers as ONE batched forward.
+    """Fused replay over **batch-major** ``[B, T, ...]`` buffers as ONE
+    ND-batched forward.
 
     Requires ``module.replay_time_static`` (the whole network): the
     output at (b, t) depends only on (params, input, stored extras), so
     neither time ordering nor the per-env ``done`` resets matter — the
     entire replay collapses to a single MXU-sized forward with no
-    ``vmap``-over-time axis at all. Row ``b·T + t`` holds env b's step
-    t; its PRNG key is ``split(k_b, T)[t]`` — exactly the key the
-    time-major fused path (:meth:`StatefulModule.replay_sequence`)
-    hands step t, so the two paths produce identical outputs (modulo
-    float reduction order in per-call regularization means).
+    ``vmap``-over-time axis at all. The forward runs DIRECTLY on the
+    ``[B, T, ...]`` leaves (every static layer is elementwise or
+    contracts the last axis, so leading batch rank is free): no
+    flatten-to-``[B·T]`` reshape op sits between the minibatch gather
+    and the matmuls, leaving XLA's layout assignment free to collapse
+    the leading dims without a retiling copy. Measured on one v5e
+    (quadruped megakernel config): an explicit flatten gather ran 7.7M
+    env-steps/s vs 12.4M for gather-rows + in-loss reshape; this path
+    removes the reshape too. The (b, t) PRNG key is ``split(k_b, T)[t]``
+    — exactly the key the time-major fused path hands step t, so
+    outputs match it bit-for-bit (modulo per-call reduction order).
 
-    Inputs are FLAT, not ``[B, T, ...]``, on purpose: TPU arrays are
-    tiled on their two minor dims, so reshaping a gathered
-    ``[B_mb, T, f]`` minibatch to ``[B_mb·T, f]`` materializes a real
-    retiling copy (measured ~4% of the quadruped megakernel step).
-    ``ppo_loss`` instead stores the rollout working set pre-flattened
-    and gathers flat row indices, so the gather output feeds the
-    forward directly.
-
-    Returns ``(output_flat [B·T, ...], reg_flat [B·T], final_state)``;
+    Returns ``(output_bt [B,T,...], reg_bt [B,T], final_state)``;
     ``final_state`` advances key leaves by the same chained next-key
     split as the sequential scan (T+1 bootstrap parity), or pass a
     pre-advanced carry (:func:`advance_state_keys`, hoisted out of
@@ -264,31 +262,33 @@ def replay_sequence_flat(
     """
     if not module.replay_time_static:
         raise ValueError(
-            "replay_sequence_flat requires a fully replay-time-static "
+            "replay_sequence_nd requires a fully replay-time-static "
             "network (every module's replay output independent of carry "
             "values); use the time-major replay_sequence path for "
             "recurrent networks."
         )
     T = n_steps
-    N = jax.tree.leaves(obs_flat)[0].shape[0]
-    B = N // T
+    first = jax.tree.leaves(obs_bt)[0]
+    B = first.shape[0]
 
     def expand(leaf: jax.Array) -> jax.Array:
         if jnp.issubdtype(leaf.dtype, jax.dtypes.prng_key):
-            # [B] keys -> [B, T] per-step subkeys -> flat [B*T]:
-            # index b*T + t holds split(k_b, T)[t].
-            return jax.vmap(lambda k: jax.random.split(k, T))(leaf).reshape(B * T)
+            # [B] keys -> [B, T] per-step subkeys; (b, t) holds
+            # split(k_b, T)[t].
+            return jax.vmap(lambda k: jax.random.split(k, T))(leaf)
         # Non-key carries of a static module are constant across steps:
-        # tile each env's value over its T samples.
-        return jnp.repeat(leaf, T, axis=0)
+        # broadcast each env's value over its T samples.
+        return jnp.broadcast_to(
+            leaf[:, None], (leaf.shape[0], T) + leaf.shape[1:]
+        )
 
-    flat_state = jax.tree.map(expand, module_state)
-    out = module(flat_state, obs_flat, extras_flat)
+    nd_state = jax.tree.map(expand, module_state)
+    out = module(nd_state, obs_bt, extras_bt)
     reg = out.regularization_loss
-    reg_flat = jnp.broadcast_to(reg, (N,)) if reg.ndim == 0 else reg
+    reg_bt = jnp.broadcast_to(reg, (B, T))
     if final_state is None:
         final_state = advance_state_keys(module_state, T)
-    return out.output, reg_flat, final_state
+    return out.output, reg_bt, final_state
 
 
 def advance_state_keys(module_state: ModuleState, n_steps: int) -> ModuleState:
@@ -322,12 +322,14 @@ def expand_state_over_time(module_state: ModuleState, unroll_length: int) -> Any
 
 
 def split_per_env_keys(
-    keys: "Key[jax.Array, 'batch']", num: int = 2
-) -> "tuple[Key[jax.Array, 'batch'], ...]":
-    """Split a ``[B]`` array of PRNG keys into ``num`` per-env subkey
-    arrays — the carry-state RNG advance used by stochastic layers."""
-    split = jax.vmap(lambda k: jax.random.split(k, num))(keys)
-    return tuple(split[:, i] for i in range(num))
+    keys: "Key[jax.Array, '...']", num: int = 2
+) -> "tuple[Key[jax.Array, '...'], ...]":
+    """Split a ``[B]`` (or any-rank, e.g. the ND replay's ``[B, T]``)
+    array of PRNG keys into ``num`` per-env subkey arrays — the
+    carry-state RNG advance used by stochastic layers."""
+    flat = keys.reshape(-1)
+    split = jax.vmap(lambda k: jax.random.split(k, num))(flat)
+    return tuple(split[:, i].reshape(keys.shape) for i in range(num))
 
 
 def advance_per_env_keys(

@@ -86,31 +86,27 @@ def minibatch_plan(
     shuffle: bool = True,
     key: Optional[jax.Array] = None,
     batch_major: bool = False,
-    time_steps: Optional[int] = None,
 ) -> tuple[
     jax.Array,
     Callable[[Any, jax.Array], Any],
     Callable[[Any, jax.Array], Any],
-    Optional[Callable[[Any, jax.Array], Any]],
 ]:
     """Build the E·M minibatch extraction plan shared by ``ppo_step``
     and ``distillation_step``.
 
-    Returns ``(selectors, take_seq, take_batch, take_flat)``:
+    Returns ``(selectors, take_seq, take_batch)``:
 
     * ``selectors`` — ``[n_epochs · n_minibatches, ...]`` scan xs; one
       row per gradient update.
     * ``take_seq(leaf, sel)`` — extract one minibatch from a rollout
       *sequence* buffer: ``[T, B, ...]`` when time-major (env axis 1),
       ``[B, T, ...]`` when ``batch_major`` (env axis 0 — the gather's
-      native output layout, see ``PPOConfig.rollout_layout``).
+      native output layout, see ``PPOConfig.rollout_layout``; an
+      explicitly FLATTENED ``[B·T]`` row-gather variant was measured
+      far slower on TPU — 7.7M vs 12.4M env-steps/s on the quadruped
+      megakernel config — gathers want few large rows).
     * ``take_batch(leaf, sel)`` — extract one minibatch from a per-env
       ``[B, ...]`` leaf (network carries, bootstrap obs).
-    * ``take_flat(leaf, sel)`` — extract one minibatch from a
-      FLATTENED batch-major ``[B·T, ...]`` buffer (row ``b·T + t`` =
-      env b, step t): the gathered rows feed the flat replay with no
-      reshape/retile at all. Only built when ``batch_major`` and
-      ``time_steps`` are given; ``None`` otherwise.
 
     ``shuffle=True`` uses :func:`minibatch_permutations` (per-minibatch
     permutation gathers — the measured fused-optimal form of shuffled
@@ -118,7 +114,6 @@ def minibatch_plan(
     dynamic slices instead (no gathers; minibatches are fixed env
     blocks within an iteration).
     """
-    T = time_steps
     if shuffle:
         if key is None:
             raise ValueError("shuffle=True requires a permutation key")
@@ -129,21 +124,14 @@ def minibatch_plan(
         def take_batch(x, inds):
             return x[inds]
 
-        take_flat = None
         if batch_major:
             take_seq = take_batch
-            if T is not None:
-
-                def take_flat(x, inds):
-                    rows = (inds[:, None] * T + jnp.arange(T)).reshape(-1)
-                    return x[rows]
-
         else:
 
             def take_seq(x, inds):
                 return x[:, inds]
 
-        return selectors, take_seq, take_batch, take_flat
+        return selectors, take_seq, take_batch
 
     # Contiguous shard-local minibatch slices — no permutation gathers,
     # no post-gather layout copies (together ~16% of the step in the
@@ -177,17 +165,4 @@ def minibatch_plan(
     def take_batch(x, m):
         return _block_slice(x, m, 0)
 
-    take_flat = None
-    if batch_major and T is not None:
-        # Flat rows of a contiguous env block are themselves contiguous:
-        # envs [m·k, (m+1)·k) of shard s occupy flat rows
-        # [s·per_block·T + m·k·T, ... + k·T).
-        def take_flat(x, m):
-            shape = x.shape
-            xs = x.reshape((n_shards, per_block * T) + shape[1:])
-            sl = jax.lax.dynamic_slice_in_dim(
-                xs, m * k_quota * T, k_quota * T, axis=1
-            )
-            return sl.reshape((n_shards * k_quota * T,) + shape[1:])
-
-    return selectors, take_seq, take_batch, take_flat
+    return selectors, take_seq, take_batch

@@ -57,12 +57,14 @@ def soa_features_unsupported_reason(
     draws, and trunk push forces (always supported — an extra additive
     lane, no check needed)."""
     if terrain is not None:
-        from nnx_ppo_tpu.physics.terrain import Terrain
+        from nnx_ppo_tpu.physics.terrain import HeightGrid, Terrain
 
-        if not isinstance(terrain, Terrain):
+        if not isinstance(terrain, (Terrain, HeightGrid)):
             return (
                 "SoA substep supports analytic Terrain heightfields "
-                "only (HeightGrid needs per-lane gathers)"
+                "(in-kernel wave sums) and HeightGrid data terrain "
+                "(frozen per-control-step tangent-plane lanes gathered "
+                "in XLA) only"
             )
     if randomize is not None:
         from nnx_ppo_tpu.physics.randomize import DomainRandomization
@@ -287,8 +289,9 @@ def crba_chol_soa(model: Model, qpos, dt: float, *,
 
 
 def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
-                *, terrain=None, friction=None, mass_scale=None,
-                damping_scale=None, gain_scale=None, push=None):
+                *, terrain=None, terrain_planes=None, friction=None,
+                mass_scale=None, damping_scale=None, gain_scale=None,
+                push=None):
     """One physics substep on lane tuples.
 
     Args:
@@ -304,6 +307,18 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
         :class:`~nnx_ppo_tpu.physics.terrain.Terrain` heightfield
         (trace-time constants — each wave is a fused sin/cos per
         contact). ``None`` = flat z = 0 ground.
+      terrain_planes: optional tuple of per-ground-geom ``(c, gx, gy)``
+        lane triples — each geom's LOCAL tangent plane
+        ``h(x, y) = c + gx·x + gy·y``, sampled from a data heightfield
+        (:class:`~nnx_ppo_tpu.physics.terrain.HeightGrid`) in XLA once
+        per control step and held frozen over the substeps. This is
+        how grid terrain rides the megakernel without in-kernel
+        gathers: the contact model is already first-order in the
+        surface at the sphere center, so freezing the tangent plane
+        for one control step (~1-2 cm of foot travel) adds only the
+        plane-vs-bilinear drift within that window — exact whenever
+        the local surface IS a plane. Mutually exclusive with
+        ``terrain``.
       friction / mass_scale / damping_scale / gain_scale: optional
         per-env domain-randomization lanes — the scalar
         :class:`~nnx_ppo_tpu.physics.randomize.DomainParams` fields
@@ -323,6 +338,9 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
     assert all(t in (FREE, HINGE) for t in model.joint_type), (
         "SoA substep supports hinge joints only; use engine.step for "
         "slide/ball-joint models"
+    )
+    assert terrain is None or terrain_planes is None, (
+        "terrain and terrain_planes are mutually exclusive"
     )
     NB = model.n_bodies
     nj = model.nj
@@ -399,7 +417,7 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
         x_w = soa.v3_add(P_b, soa.m3_vec(E_b, offset))
         wb = soa.sp_ang(v[b])
         lb = soa.sp_lin(v[b])
-        if terrain is None:
+        if terrain is None and terrain_planes is None:
             # Flat-plane fast path: the normal is the constant +z, so
             # the normal/tangential split is a static index pick.
             phi = radius - x_w[2]
@@ -414,13 +432,23 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
             )
             vn = v_pt[2]
         else:
-            # Analytic heightfield: surface normal from the exact
-            # gradient at the center's xy; gap along n ≈ vertical
-            # gap · n_z; contact point one radius down the normal —
-            # the lane form of engine.contact_generalized_forces'
-            # terrain branch.
-            n = _terrain_normal_soa(terrain, x_w[0], x_w[1])
-            h = _terrain_height_soa(terrain, x_w[0], x_w[1])
+            if terrain_planes is not None:
+                # Per-geom frozen tangent plane (HeightGrid-as-lanes):
+                # h(x, y) = c + gx·x + gy·y, normal from the constant
+                # gradient — exactly the analytic branch below with the
+                # wave sum replaced by three input lanes.
+                c_g, gx_g, gy_g = terrain_planes[gidx]
+                h = c_g + gx_g * x_w[0] + gy_g * x_w[1]
+                inv = 1.0 / jnp.sqrt(gx_g**2 + gy_g**2 + 1.0)
+                n = (-gx_g * inv, -gy_g * inv, inv)
+            else:
+                # Analytic heightfield: surface normal from the exact
+                # gradient at the center's xy; gap along n ≈ vertical
+                # gap · n_z; contact point one radius down the normal —
+                # the lane form of engine.contact_generalized_forces'
+                # terrain branch.
+                n = _terrain_normal_soa(terrain, x_w[0], x_w[1])
+                h = _terrain_height_soa(terrain, x_w[0], x_w[1])
             phi = radius - (x_w[2] - h) * n[2]
             down_n = soa.m3T_vec(E_b, soa.v3_scale(-radius, n))
             contact_offset = soa.v3_add(offset, down_n)
@@ -440,7 +468,7 @@ def substep_soa(model: Model, qpos, qvel, target, chol, kp: float, dt: float,
         )
         if np.isfinite(model.max_contact_force):
             fn = jnp.minimum(fn, model.max_contact_force)
-        if terrain is None:
+        if terrain is None and terrain_planes is None:
             vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2 + 1e-6)
             scale = -mu * fn / jnp.maximum(vt_norm, model.friction_vel)
             f_w = (scale * v_pt[0], scale * v_pt[1], fn)

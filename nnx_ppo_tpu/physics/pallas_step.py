@@ -132,17 +132,24 @@ def pallas_substeps(
     return qpos_t.T, qvel_t.T, normals_t.T
 
 
-def _split_extra(extra_lanes, dr_fields, has_push):
-    """Unpack the packed per-env extras (DR scalars then the 3 push
-    lanes) into (substep kwargs, crba kwargs). ``extra_lanes`` indexes
-    lanes: ``extra_lanes[k]`` — a ref row inside the kernel, a scalar
-    inside the per-env primal."""
+def _split_extra(extra_lanes, dr_fields, has_push, n_terrain_planes=0):
+    """Unpack the packed per-env extras (DR scalars, then the 3 push
+    lanes, then 3 tangent-plane lanes ``(c, gx, gy)`` per ground geom)
+    into (substep kwargs, crba kwargs). ``extra_lanes`` indexes lanes:
+    ``extra_lanes[k]`` — a ref row inside the kernel, a scalar inside
+    the per-env primal."""
     sub_kw = {}
     for i, name in enumerate(dr_fields):
         sub_kw[name] = extra_lanes[i]
+    n = len(dr_fields)
     if has_push:
-        n = len(dr_fields)
         sub_kw["push"] = tuple(extra_lanes[n + k] for k in range(3))
+        n += 3
+    if n_terrain_planes:
+        sub_kw["terrain_planes"] = tuple(
+            tuple(extra_lanes[n + 3 * g + k] for k in range(3))
+            for g in range(n_terrain_planes)
+        )
     crba_kw = {
         k: v
         for k, v in sub_kw.items()
@@ -163,9 +170,10 @@ def pallas_control_step(
     interpret: bool = False,
     exact: bool = False,
     terrain=None,
-    extra: "jax.Array | None" = None,  # [B, n_extra] packed DR + push
+    extra: "jax.Array | None" = None,  # [B, n_extra] packed DR+push+planes
     dr_fields: tuple = (),
     has_push: bool = False,
+    n_terrain_planes: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One Pallas launch per CONTROL step: CRBA + Cholesky factor of
     ``M + dt·D`` computed IN-KERNEL (``crba_chol_soa``), then all
@@ -191,9 +199,13 @@ def pallas_control_step(
     Production-realism features ride the same launch: ``terrain`` (an
     analytic heightfield — trace-time constants, a few fused sin/cos
     per contact), and ``extra`` — per-env domain-randomization scalars
-    (``dr_fields`` names them) then the 3 push-force lanes
-    (``has_push``), packed ``[B, n_extra]``. They add input lanes, not
-    launches: the whole feature set is one kernel per control step.
+    (``dr_fields`` names them), then the 3 push-force lanes
+    (``has_push``), then ``n_terrain_planes`` per-geom frozen
+    tangent-plane triples ``(c, gx, gy)`` (data/HeightGrid terrain
+    sampled in XLA once per control step — see
+    ``engine_soa.substep_soa``), packed ``[B, n_extra]``. They add
+    input lanes, not launches: the whole feature set is one kernel per
+    control step.
     """
     from jax.experimental import pallas as pl
 
@@ -202,9 +214,9 @@ def pallas_control_step(
     n_geoms = len(model.geom_body) + len(model.pair_geom_a)
     if B % tile != 0:
         raise ValueError(f"batch {B} not divisible by tile {tile}")
-    n_extra = len(dr_fields) + (3 if has_push else 0)
+    n_extra = len(dr_fields) + (3 if has_push else 0) + 3 * n_terrain_planes
     if (extra is None) != (n_extra == 0):
-        raise ValueError("extra must match dr_fields/has_push")
+        raise ValueError("extra must match dr_fields/has_push/planes")
 
     def kernel(*refs):
         if n_extra:
@@ -212,7 +224,7 @@ def pallas_control_step(
              qpos_out, qvel_out, normals_out) = refs
             sub_kw, crba_kw = _split_extra(
                 [extra_ref[k, :] for k in range(n_extra)],
-                dr_fields, has_push,
+                dr_fields, has_push, n_terrain_planes,
             )
         else:
             (qpos_ref, qvel_ref, target_ref,
@@ -320,17 +332,26 @@ def make_control_step_runner(
     ``exact`` recomputes the factor every substep (exact dynamics
     instead of the ``reuse_mass_matrix`` held-factor approximation).
 
-    Feature plumbing: ``terrain`` is a static analytic heightfield;
-    ``dr_fields`` names the per-env domain-randomization scalars and
-    ``has_push`` appends a 3-vector world push force — together they
-    form the runner's packed per-env ``extra`` argument
-    (``[len(dr_fields) + 3·has_push]``). When both are off the runner
-    keeps the 3-argument signature."""
+    Feature plumbing: ``terrain`` is a static analytic heightfield —
+    OR a :class:`~nnx_ppo_tpu.physics.terrain.HeightGrid`, in which
+    case the runner consumes 3 frozen tangent-plane lanes per ground
+    geom (sampled from the grid in XLA by the env once per control
+    step) instead of in-kernel terrain math; ``dr_fields`` names the
+    per-env domain-randomization scalars and ``has_push`` appends a
+    3-vector world push force — together they form the runner's packed
+    per-env ``extra`` argument (``[len(dr_fields) + 3·has_push +
+    3·n_planes]``). When all are off the runner keeps the 3-argument
+    signature."""
     from jax.custom_batching import custom_vmap
+
+    from nnx_ppo_tpu.physics.terrain import HeightGrid
 
     nq, nv, nj = model.nq, model.nv, model.nj
     n_geoms = len(model.geom_body) + len(model.pair_geom_a)
-    n_extra = len(dr_fields) + (3 if has_push else 0)
+    n_planes = len(model.geom_body) if isinstance(terrain, HeightGrid) else 0
+    if n_planes:
+        terrain = None  # the grid never enters the kernel; lanes do
+    n_extra = len(dr_fields) + (3 if has_push else 0) + 3 * n_planes
 
     def run_one(qpos, qvel, target, extra=None):
         qp = tuple(qpos[k] for k in range(nq))
@@ -338,7 +359,8 @@ def make_control_step_runner(
         tgt = tuple(target[k] for k in range(nj))
         if n_extra:
             sub_kw, crba_kw = _split_extra(
-                [extra[k] for k in range(n_extra)], dr_fields, has_push
+                [extra[k] for k in range(n_extra)], dr_fields, has_push,
+                n_planes,
             )
         else:
             sub_kw, crba_kw = {}, {}
@@ -374,6 +396,7 @@ def make_control_step_runner(
                 extra=args[3] if n_extra else None,
                 dr_fields=dr_fields,
                 has_push=has_push,
+                n_terrain_planes=n_planes,
             )
         return jax.vmap(run_one)(*args)
 

@@ -117,10 +117,13 @@ class HeightGrid:
             raise ValueError("HeightGrid needs at least a 2x2 grid")
 
     def _cell(self, xy: jax.Array):
+        # ND-vectorized: ``xy`` is [..., 2]; every return is [...]. A
+        # stacked call (all of an env's contact geoms at once) is the
+        # fast form — ONE 4-way gather instead of 4 per geom.
         d = jnp.asarray(self.data, jnp.float32)
         nx, ny = d.shape
-        u = (xy[0] - self.x0) / self.dx
-        v = (xy[1] - self.y0) / self.dy
+        u = (xy[..., 0] - self.x0) / self.dx
+        v = (xy[..., 1] - self.y0) / self.dy
         i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 2)
         j = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ny - 2)
         fx = jnp.clip(u - i, 0.0, 1.0)
@@ -132,7 +135,7 @@ class HeightGrid:
         return h00, h10, h01, h11, fx, fy
 
     def height(self, xy: jax.Array) -> jax.Array:
-        """Bilinear height at world ``xy`` ([2] → scalar)."""
+        """Bilinear height at world ``xy`` ([..., 2] → [...])."""
         h00, h10, h01, h11, fx, fy = self._cell(xy)
         return (
             h00 * (1 - fx) * (1 - fy)
@@ -141,23 +144,45 @@ class HeightGrid:
             + h11 * fx * fy
         )
 
-    def grad(self, xy: jax.Array) -> jax.Array:
-        """Exact gradient of the bilinear interpolant at ``xy`` — zero
-        on the flat extension beyond the grid, matching ``height``'s
-        clamping (otherwise contacts out there would feel the edge
-        cell's slope as a phantom lateral push)."""
+    def _grad_parts(self, xy, h00, h10, h01, h11, fx, fy):
         d = np.asarray(self.data).shape
-        h00, h10, h01, h11, fx, fy = self._cell(xy)
-        u = (xy[0] - self.x0) / self.dx
-        v = (xy[1] - self.y0) / self.dy
+        u = (xy[..., 0] - self.x0) / self.dx
+        v = (xy[..., 1] - self.y0) / self.dy
         in_x = ((u >= 0.0) & (u <= d[0] - 1)).astype(jnp.float32)
         in_y = ((v >= 0.0) & (v <= d[1] - 1)).astype(jnp.float32)
         gx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / self.dx
         gy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / self.dy
-        return jnp.stack([gx * in_x, gy * in_y])
+        return gx * in_x, gy * in_y
+
+    def grad(self, xy: jax.Array) -> jax.Array:
+        """Exact gradient of the bilinear interpolant at ``xy`` — zero
+        on the flat extension beyond the grid, matching ``height``'s
+        clamping (otherwise contacts out there would feel the edge
+        cell's slope as a phantom lateral push). [..., 2] → [..., 2]
+        (stacked on the last axis)."""
+        cell = self._cell(xy)
+        gx, gy = self._grad_parts(xy, *cell)
+        return jnp.stack([gx, gy], axis=-1) if xy.ndim > 1 else jnp.stack([gx, gy])
+
+    def plane(self, xy: jax.Array) -> tuple:
+        """Local tangent plane ``h(x, y) = c + gx·x + gy·y`` of the
+        interpolant at ``xy`` ([..., 2] → three [...] arrays) from ONE
+        cell evaluation — the fused form of ``height`` + ``grad`` used
+        to build the megakernel's per-contact terrain lanes."""
+        cell = self._cell(xy)
+        h00, h10, h01, h11, fx, fy = cell
+        h = (
+            h00 * (1 - fx) * (1 - fy)
+            + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+        gx, gy = self._grad_parts(xy, *cell)
+        c = h - gx * xy[..., 0] - gy * xy[..., 1]
+        return c, gx, gy
 
     def normal(self, xy: jax.Array) -> jax.Array:
-        """Upward unit surface normal at ``xy`` ([3])."""
+        """Upward unit surface normal at ``xy`` ([2] → [3])."""
         g = self.grad(xy)
         n = jnp.concatenate([-g, jnp.ones(1)])
         return n / jnp.sqrt(jnp.sum(n**2))

@@ -31,7 +31,7 @@ from nnx_ppo_tpu.networks import (
     Sequential,
     make_mlp_actor_critic,
 )
-from nnx_ppo_tpu.networks.types import replay_sequence_flat
+from nnx_ppo_tpu.networks.types import replay_sequence_nd
 from nnx_ppo_tpu.parallel.permutation import minibatch_plan
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
@@ -49,41 +49,33 @@ def _gru_net(key):
 
 class TestMinibatchPlan:
     def test_shuffled_membership_identical_across_layouts(self):
-        """take_seq/take_flat must select the SAME (env, step) samples
-        in every layout."""
+        """take_seq must select the SAME (env, step) samples in both
+        layouts."""
         key = jax.random.key(3)
         T = 5
-        sel_tm, take_tm, _, flat_tm = minibatch_plan(
-            16, 2, 4, shuffle=True, key=key
+        sel_tm, take_tm, _ = minibatch_plan(16, 2, 4, shuffle=True, key=key)
+        sel_bm, take_bm, _ = minibatch_plan(
+            16, 2, 4, shuffle=True, key=key, batch_major=True
         )
-        sel_bm, take_bm, _, take_flat = minibatch_plan(
-            16, 2, 4, shuffle=True, key=key, batch_major=True, time_steps=T
-        )
-        assert flat_tm is None
         assert jnp.array_equal(sel_tm, sel_bm)
         x_tm = jnp.arange(T * 16 * 3).reshape(T, 16, 3)  # [T, B, f]
         x_bm = jnp.swapaxes(x_tm, 0, 1)  # [B, T, f]
-        x_flat = x_bm.reshape(16 * T, 3)  # [B*T, f]
         for i in range(sel_tm.shape[0]):
             a = take_tm(x_tm, sel_tm[i])  # [T, B_mb, f]
             b = take_bm(x_bm, sel_bm[i])  # [B_mb, T, f]
-            c = take_flat(x_flat, sel_bm[i])  # [B_mb*T, f]
             assert jnp.array_equal(a, jnp.swapaxes(b, 0, 1))
-            assert jnp.array_equal(c, b.reshape(-1, 3))
 
     def test_unshuffled_blocks_identical_across_layouts(self):
         T = 5
-        sel, take_tm, _, _ = minibatch_plan(16, 1, 4, 2, shuffle=False)
-        _, take_bm, _, take_flat = minibatch_plan(
-            16, 1, 4, 2, shuffle=False, batch_major=True, time_steps=T
+        sel, take_tm, _ = minibatch_plan(16, 1, 4, 2, shuffle=False)
+        _, take_bm, _ = minibatch_plan(
+            16, 1, 4, 2, shuffle=False, batch_major=True
         )
         x_tm = jnp.arange(T * 16).reshape(T, 16)
         x_bm = jnp.swapaxes(x_tm, 0, 1)
-        x_flat = x_bm.reshape(16 * T)
         for m in sel:
             b = take_bm(x_bm, m)
             assert jnp.array_equal(take_tm(x_tm, m), jnp.swapaxes(b, 0, 1))
-            assert jnp.array_equal(take_flat(x_flat, m), b.reshape(-1))
 
     def test_unshuffled_validates_divisibility(self):
         # n_envs not divisible by n_shards
@@ -99,8 +91,8 @@ class TestMinibatchPlan:
 
 
 class TestFlatReplayParity:
-    def test_flat_replay_matches_time_major_fused(self):
-        """replay_sequence_flat([B,T]) == replay_sequence([T,B]).T —
+    def test_nd_replay_matches_time_major_fused(self):
+        """replay_sequence_nd([B,T]) == replay_sequence([T,B]).T —
         same per-(env, step) sample keys, same outputs."""
         net = make_mlp_actor_critic(5, 1, [16], [16], jax.random.key(0))
         assert net.replay_time_static
@@ -120,22 +112,22 @@ class TestFlatReplayParity:
             state, obs_tb, done_tb, extras_tb
         )
 
-        def to_flat(x):
-            return jnp.swapaxes(x, 0, 1).reshape((B * T,) + x.shape[2:])
+        def to_bt(x):
+            return jnp.swapaxes(x, 0, 1)
 
-        out_bm, reg_bm, fin_bm = replay_sequence_flat(
+        out_bm, reg_bm, fin_bm = replay_sequence_nd(
             net,
             state,
-            to_flat(obs_tb),
+            to_bt(obs_tb),
             T,
-            jax.tree.map(to_flat, extras_tb),
+            jax.tree.map(to_bt, extras_tb),
         )
         for a, b in zip(jax.tree.leaves(out_tm), jax.tree.leaves(out_bm)):
-            b_tb = np.swapaxes(
-                np.asarray(b).reshape((B, T) + b.shape[1:]), 0, 1
-            )
             np.testing.assert_allclose(
-                np.asarray(a), b_tb, rtol=1e-6, atol=1e-7
+                np.asarray(a),
+                np.swapaxes(np.asarray(b), 0, 1),
+                rtol=1e-6,
+                atol=1e-7,
             )
         np.testing.assert_allclose(
             np.asarray(reg_tm).mean(), np.asarray(reg_bm).mean(), rtol=1e-6
@@ -144,12 +136,12 @@ class TestFlatReplayParity:
         for a, b in zip(jax.tree.leaves(fin_tm), jax.tree.leaves(fin_bm)):
             assert jnp.array_equal(jax.random.key_data(a), jax.random.key_data(b))
 
-    def test_flat_replay_rejects_recurrent_nets(self):
+    def test_nd_replay_rejects_recurrent_nets(self):
         net = _gru_net(jax.random.key(0))
         state = net.initialize_state(4)
-        obs = jnp.zeros((12, 5))
+        obs = jnp.zeros((4, 3, 5))
         with pytest.raises(ValueError, match="replay-time-static"):
-            replay_sequence_flat(net, state, obs, 3, None)
+            replay_sequence_nd(net, state, obs, 3, None)
 
 
 class TestLayoutResolution:
@@ -231,10 +223,8 @@ class TestEndToEndLayoutParity:
             metrics={},
         )
         view = ReplayMinibatch.from_rollout(tr, batch_major=True)
-        assert view.obs.shape == (B * T, 2)
-        assert jnp.array_equal(
-            view.obs, jnp.swapaxes(tr.obs, 0, 1).reshape(B * T, 2)
-        )
+        assert view.obs.shape == (B, T, 2)
+        assert jnp.array_equal(view.obs, jnp.swapaxes(tr.obs, 0, 1))
         assert view.rewards.shape == (B, T)
         assert jnp.array_equal(view.last_next_obs, tr.next_obs[-1])
         assert view.batch_major
