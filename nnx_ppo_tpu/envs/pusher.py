@@ -68,6 +68,7 @@ class ArmPush:
         control_dt: float = 0.02,
         n_substeps: int = 16,
         target_radius: tuple[float, float] = (0.25, 0.45),
+        substep_impl: str = "auto",
     ):
         arm = make_arm(
             shoulder_height=SHOULDER_HEIGHT,
@@ -85,6 +86,28 @@ class ArmPush:
         self.n_substeps = n_substeps
         self.physics_dt = control_dt / n_substeps
         self.target_radius = target_radius
+        # Scene megakernel: arm + ball + their cross contact, all
+        # n_substeps of a control step in ONE Pallas launch per tile.
+        # A pusher_4096 device profile showed the XLA scene path at
+        # ~4,400 kernel launches per train iteration, ~75% device-idle
+        # (dispatch-bound) — the same pathology the locomotion
+        # megakernel removed. 'auto' = kernel on TPU, XLA elsewhere.
+        if substep_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"substep_impl must be 'auto'|'xla'|'pallas', got "
+                f"{substep_impl!r}"
+            )
+        self.substep_impl = substep_impl
+        self._scene_runner = None
+        if substep_impl != "xla":
+            from nnx_ppo_tpu.physics.pallas_step import (
+                make_scene_control_step_runner,
+            )
+
+            self._scene_runner = make_scene_control_step_runner(
+                self.scene.models, self.scene.pairs, self.physics_dt,
+                n_substeps, force_pallas=(substep_impl == "pallas"),
+            )
 
     # -- helpers ----------------------------------------------------------
 
@@ -239,14 +262,26 @@ class ArmPush:
     def step(self, state: State, action: jax.Array) -> State:
         q = state.data
         tau = self.torque_scale * jnp.clip(action, -1.0, 1.0)
-        (arm_qpos, ball_qpos), (arm_qvel, ball_qvel), _ = scene_step(
-            self.scene,
-            (q["arm_qpos"], q["ball_qpos"]),
-            (q["arm_qvel"], q["ball_qvel"]),
-            (tau, jnp.zeros(6)),
-            self.physics_dt,
-            n_substeps=self.n_substeps,
-        )
+        if self._scene_runner is not None and (
+            self.substep_impl == "pallas" or jax.default_backend() == "tpu"
+        ):
+            arm = self.scene.models[0]
+            qp, qv, _ = self._scene_runner(
+                jnp.concatenate([q["arm_qpos"], q["ball_qpos"]]),
+                jnp.concatenate([q["arm_qvel"], q["ball_qvel"]]),
+                jnp.concatenate([tau, jnp.zeros(6)]),
+            )
+            arm_qpos, ball_qpos = qp[: arm.nq], qp[arm.nq :]
+            arm_qvel, ball_qvel = qv[: arm.nv], qv[arm.nv :]
+        else:
+            (arm_qpos, ball_qpos), (arm_qvel, ball_qvel), _ = scene_step(
+                self.scene,
+                (q["arm_qpos"], q["ball_qpos"]),
+                (q["arm_qvel"], q["ball_qvel"]),
+                (tau, jnp.zeros(6)),
+                self.physics_dt,
+                n_substeps=self.n_substeps,
+            )
         # Velocity clamps: the penalty contacts are explicit, and a
         # worst-case adversarial action sequence can drive the
         # light-ball/thin-forearm contact pair into its marginal

@@ -47,6 +47,7 @@ class ArmReacher:
         control_dt: float = 0.02,
         n_substeps: int = 4,
         target_radius: tuple[float, float] = (0.25, 0.6),
+        substep_impl: str = "auto",
     ):
         self.model = make_arm()
         self.torque_scale = torque_scale
@@ -57,6 +58,26 @@ class ArmReacher:
         self.physics_dt = control_dt / n_substeps
         self.target_radius = target_radius
         self.reach = UPPER_LEN + FORE_LEN
+        # Manipulation megakernel (general-tree SoA): a control step of
+        # the ball+hinge arm in ONE Pallas launch per tile, replacing
+        # the sequential XLA substep chain — same dispatch policy as
+        # LeggedJoystick.substep_impl ('auto' = kernel on TPU).
+        if substep_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"substep_impl must be 'auto'|'xla'|'pallas', got "
+                f"{substep_impl!r}"
+            )
+        self.substep_impl = substep_impl
+        self._scene_runner = None
+        if substep_impl != "xla":
+            from nnx_ppo_tpu.physics.pallas_step import (
+                make_scene_control_step_runner,
+            )
+
+            self._scene_runner = make_scene_control_step_runner(
+                (self.model,), (), self.physics_dt, n_substeps,
+                force_pallas=(substep_impl == "pallas"),
+            )
 
     # -- helpers ----------------------------------------------------------
 
@@ -179,9 +200,14 @@ class ArmReacher:
     def step(self, state: State, action: jax.Array) -> State:
         q = state.data
         tau = self.torque_scale * jnp.clip(action, -1.0, 1.0)
-        qpos, qvel, _ = step(
-            self.model, q["qpos"], q["qvel"], tau, self.physics_dt,
-            n_substeps=self.n_substeps,
-        )
+        if self._scene_runner is not None and (
+            self.substep_impl == "pallas" or jax.default_backend() == "tpu"
+        ):
+            qpos, qvel, _ = self._scene_runner(q["qpos"], q["qvel"], tau)
+        else:
+            qpos, qvel, _ = step(
+                self.model, q["qpos"], q["qvel"], tau, self.physics_dt,
+                n_substeps=self.n_substeps,
+            )
         new_q = {"qpos": qpos, "qvel": qvel, "target": q["target"]}
         return self._state(new_q, action)

@@ -579,3 +579,242 @@ def make_substep_runner(
         return out, (True, True, True)
 
     return run
+
+
+# ------------------------------------------------------------ scene kernel
+
+
+def pallas_scene_step(
+    models,
+    pairs,
+    qpos_cat: jax.Array,  # [B, sum nq]
+    qvel_cat: jax.Array,  # [B, sum nv]
+    tau_cat: jax.Array,  # [B, sum nv]
+    dt: float,
+    n_substeps: int,
+    tile: int = 256,
+    interpret: bool = False,
+    terrain=None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One Pallas launch per CONTROL step of a multi-tree SCENE
+    (``engine_soa_general.scene_substep_soa``): every tree's exact
+    per-substep dynamics (in-kernel CRBA + Cholesky — the manipulation
+    trees are tiny, nv ≤ 6) plus cross-tree sphere contacts, all
+    VMEM-resident across the substeps.
+
+    The manipulation envs' XLA path (``scene.scene_step``) measured
+    0.86M env-steps/s on ``pusher_4096`` with ~4,400 kernel launches
+    per train iteration — the dispatch-bound pathology this kernel
+    removes (same design as :func:`pallas_control_step` for legged
+    locomotion).
+
+    Inputs are the per-tree states concatenated on the feature axis;
+    normals output = per-tree (ground geoms, then intra-tree pairs) in
+    tree order, then the cross-tree pair normals.
+    """
+    from jax.experimental import pallas as pl
+
+    from nnx_ppo_tpu.physics.engine_soa_general import scene_substep_soa
+
+    B = qpos_cat.shape[0]
+    nqs = [m.nq for m in models]
+    nvs = [m.nv for m in models]
+    n_normals = sum(
+        len(m.geom_body) + len(m.pair_geom_a) for m in models
+    ) + len(pairs)
+    NQ, NV = sum(nqs), sum(nvs)
+    if B % tile != 0:
+        raise ValueError(f"batch {B} not divisible by tile {tile}")
+
+    def kernel(qpos_ref, qvel_ref, tau_ref, qpos_out, qvel_out, normals_out):
+        qposs, qvels, taus = [], [], []
+        qc = vc = 0
+        for m in models:
+            qposs.append(tuple(qpos_ref[qc + k, :] for k in range(m.nq)))
+            qvels.append(tuple(qvel_ref[vc + k, :] for k in range(m.nv)))
+            taus.append(tuple(tau_ref[vc + k, :] for k in range(m.nv)))
+            qc += m.nq
+            vc += m.nv
+        qposs, qvels, taus = tuple(qposs), tuple(qvels), tuple(taus)
+        tree_normals = cross = None
+        for _ in range(n_substeps):
+            qposs, qvels, tree_normals, cross = scene_substep_soa(
+                models, pairs, qposs, qvels, taus, dt, terrain=terrain
+            )
+        qc = vc = 0
+        for t, m in enumerate(models):
+            for k in range(m.nq):
+                qpos_out[qc + k, :] = qposs[t][k]
+            for k in range(m.nv):
+                qvel_out[vc + k, :] = qvels[t][k]
+            qc += m.nq
+            vc += m.nv
+        nc = 0
+        for t in range(len(models)):
+            for fn in tree_normals[t]:
+                normals_out[nc, :] = fn
+                nc += 1
+        for fn in cross:
+            normals_out[nc, :] = fn
+            nc += 1
+
+    def spec(k):
+        return pl.BlockSpec((k, tile), lambda i: (0, i))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[spec(NQ), spec(NV), spec(NV)],
+        out_specs=[spec(NQ), spec(NV), spec(max(n_normals, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((NQ, B), jnp.float32),
+            jax.ShapeDtypeStruct((NV, B), jnp.float32),
+            jax.ShapeDtypeStruct((max(n_normals, 1), B), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    qp_t, qv_t, normals_t = call(
+        qpos_cat.T.astype(jnp.float32),
+        qvel_cat.T.astype(jnp.float32),
+        tau_cat.T.astype(jnp.float32),
+    )
+    return qp_t.T, qv_t.T, normals_t.T
+
+
+def make_scene_control_step_runner(
+    models,
+    pairs,
+    dt: float,
+    n_substeps: int,
+    force_pallas: bool = False,
+    terrain=None,
+):
+    """Scene analogue of :func:`make_control_step_runner`:
+    ``run(qpos_cat, qvel_cat, tau_cat) -> (qpos_cat', qvel_cat',
+    normals)`` advancing a whole control step of a multi-tree scene
+    (or a single general tree — ``models`` of length 1, no pairs) in
+    ONE Pallas launch per tile on TPU, with the same custom_vmap
+    dispatch, GSPMD partition rule, and XLA fallback as the locomotion
+    runner. Exact per-substep dynamics (``scene.scene_step``
+    semantics). ``qpos_cat``/``qvel_cat``/``tau_cat`` are the per-tree
+    vectors concatenated."""
+    from jax.custom_batching import custom_vmap
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from nnx_ppo_tpu.physics.engine_soa_general import (
+        scene_substep_soa,
+        soa_general_unsupported_reason,
+    )
+
+    for m in models:
+        reason = soa_general_unsupported_reason(m)
+        if reason is not None:
+            raise ValueError(f"scene kernel unsupported: {reason}")
+    nqs = [m.nq for m in models]
+    nvs = [m.nv for m in models]
+    NQ, NV = sum(nqs), sum(nvs)
+    n_normals = sum(
+        len(m.geom_body) + len(m.pair_geom_a) for m in models
+    ) + len(pairs)
+
+    def run_one(qpos_cat, qvel_cat, tau_cat):
+        qposs, qvels, taus = [], [], []
+        qc = vc = 0
+        for m in models:
+            qposs.append(tuple(qpos_cat[qc + k] for k in range(m.nq)))
+            qvels.append(tuple(qvel_cat[vc + k] for k in range(m.nv)))
+            taus.append(tuple(tau_cat[vc + k] for k in range(m.nv)))
+            qc += m.nq
+            vc += m.nv
+        qposs, qvels, taus = tuple(qposs), tuple(qvels), tuple(taus)
+        tree_normals = cross = None
+        for _ in range(n_substeps):
+            qposs, qvels, tree_normals, cross = scene_substep_soa(
+                models, pairs, qposs, qvels, taus, dt, terrain=terrain
+            )
+        flat_normals = [fn for t in range(len(models))
+                        for fn in tree_normals[t]] + list(cross)
+        return (
+            jnp.stack([q for tq in qposs for q in tq]),
+            jnp.stack([q for tq in qvels for q in tq]),
+            jnp.stack(flat_normals) if flat_normals else jnp.zeros((0,)),
+        )
+
+    def run_batch(*args):
+        B = args[0].shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        # Manipulation trees are tiny (a few bodies); VMEM pressure is
+        # far below the locomotion kernel's, so tile choice only needs
+        # divisibility.
+        tile = None
+        if on_tpu or force_pallas:
+            for t in (2048, 1024, 512, 256, 128):
+                if B % t == 0:
+                    tile = t
+                    break
+        if force_pallas or (on_tpu and tile is not None):
+            return pallas_scene_step(
+                models, pairs, *args, dt, n_substeps,
+                tile=tile if tile is not None else B,
+                interpret=not on_tpu,
+                terrain=terrain,
+            )
+        return jax.vmap(run_one)(*args)
+
+    dispatch = custom_partitioning(run_batch)
+
+    def _batch_axis(arg_infos):
+        axes = set()
+        for info in arg_infos:
+            s = getattr(info, "sharding", None)
+            spec = getattr(s, "spec", None)
+            if spec is not None and len(spec) and spec[0] is not None:
+                axes.add(spec[0])
+        if len(axes) > 1:
+            raise ValueError(
+                "scene megakernel operands are sharded on different mesh "
+                f"axes along the env (dim-0) axis: {sorted(map(str, axes))}"
+            )
+        return axes.pop() if axes else None
+
+    def _infer(mesh, arg_infos, result_infos):
+        ax = _batch_axis(arg_infos)
+        return tuple(
+            NamedSharding(mesh, PartitionSpec(ax, None)) for _ in range(3)
+        )
+
+    def _partition(mesh, arg_infos, result_infos):
+        ax = _batch_axis(arg_infos)
+        arg_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(ax, None)) for _ in range(3)
+        )
+        res_sh = tuple(
+            NamedSharding(mesh, PartitionSpec(ax, None)) for _ in range(3)
+        )
+        return mesh, run_batch, res_sh, arg_sh
+
+    dispatch.def_partition(
+        infer_sharding_from_operands=_infer,
+        partition=_partition,
+        sharding_rule="b i0, b i1, b i2 -> b o0, b o1, b o2",
+    )
+
+    @custom_vmap
+    def run(qpos_cat, qvel_cat, tau_cat):
+        return run_one(qpos_cat, qvel_cat, tau_cat)
+
+    @run.def_vmap
+    def run_vmap(axis_size, in_batched, qpos_cat, qvel_cat, tau_cat):
+        def ensure(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        args = tuple(
+            ensure(x, b)
+            for x, b in zip((qpos_cat, qvel_cat, tau_cat), in_batched)
+        )
+        return dispatch(*args), (True, True, True)
+
+    return run
