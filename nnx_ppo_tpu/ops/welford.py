@@ -14,15 +14,26 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def batch_moments(samples) -> tuple:
-    """Moments of a batch along its leading axis.
+def batch_moments(samples, n_batch_axes: int = 1) -> tuple:
+    """Moments of a batch along its ``n_batch_axes`` leading axes.
 
     Returns ``(count, mean, M2)`` where ``M2`` is the sum of squared
     deviations from the batch mean (so ``var = M2 / count``).
+
+    Multi-axis reduction matters for sharding: folding a ``[T, B, *f]``
+    rollout history with ``n_batch_axes=2`` reduces over the sharded
+    env axis IN PLACE, which GSPMD lowers to per-shard partials + one
+    all-reduce — whereas reshaping to ``[T·B, *f]`` first (collapsing a
+    sharded axis into a replicated-major one) forces an ALL-GATHER of
+    the whole history (caught by
+    tests/test_parallel.py::TestNoCrossShardGathers).
     """
-    count = samples.shape[0]
-    mean = jnp.mean(samples, axis=0)
-    m2 = jnp.sum(jnp.square(samples - mean[None]), axis=0)
+    axes = tuple(range(n_batch_axes))
+    count = 1
+    for a in axes:
+        count *= samples.shape[a]
+    mean = jnp.mean(samples, axis=axes)
+    m2 = jnp.sum(jnp.square(samples - mean[(None,) * n_batch_axes]), axis=axes)
     return count, mean, m2
 
 

@@ -134,7 +134,8 @@ def pallas_substeps(
 
 def _split_extra(extra_lanes, dr_fields, has_push, n_terrain_planes=0):
     """Unpack the packed per-env extras (DR scalars, then the 3 push
-    lanes, then 3 tangent-plane lanes ``(c, gx, gy)`` per ground geom)
+    lanes, then 3 tangent-plane lanes ``(c, gx, gy)`` per ground geom —
+    produced by :func:`pallas_plane_sampler` for HeightGrid terrain)
     into (substep kwargs, crba kwargs). ``extra_lanes`` indexes lanes:
     ``extra_lanes[k]`` — a ref row inside the kernel, a scalar inside
     the per-env primal."""
@@ -158,6 +159,70 @@ def _split_extra(extra_lanes, dr_fields, has_push, n_terrain_planes=0):
     return sub_kw, crba_kw
 
 
+def _heightgrid_planes(grid, table, model, qp):
+    """Frozen per-control-step tangent planes of a HeightGrid at each
+    geom's world xy (``engine_soa.heightgrid_planes_soa`` — one-hot MXU
+    dots; Mosaic has no gather, and XLA-side gathers measured ~0.9 ms
+    per control step on a v5e). Returns the per-geom (c, gx, gy) lane
+    triples for ``substep_soa(terrain_planes=...)``."""
+    from nnx_ppo_tpu.physics.engine_soa import (
+        _kin_soa,
+        heightgrid_planes_soa,
+    )
+
+    E, P, _, _, _ = _kin_soa(model, qp)
+    return heightgrid_planes_soa(grid, table, model, E, P)
+
+
+def pallas_plane_sampler(
+    model: Model,
+    grid,
+    qpos: jax.Array,  # [B, nq]
+    table: jax.Array,  # [nx, ny]
+    tile: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dedicated kernel: FK + HeightGrid tangent-plane sampling for all
+    ground geoms → ``[B, 3·n_geoms]`` packed ``(c, gx, gy)`` lanes.
+
+    Kept SEPARATE from the physics megakernel on purpose: folding the
+    per-geom one-hot table dots into the 10-substep physics program
+    made the remote Mosaic compile helper OOM (SIGKILL at tile 2048 AND
+    512), while this small kernel (one kinematics pass + 2 MXU dots per
+    geom) compiles in seconds and launches once per control step.
+    """
+    from jax.experimental import pallas as pl
+
+    B = qpos.shape[0]
+    nq = model.nq
+    n_planes = 3 * len(model.geom_body)
+    if B % tile != 0:
+        raise ValueError(f"batch {B} not divisible by tile {tile}")
+
+    def kernel(qpos_ref, table_ref, out_ref):
+        qp = tuple(qpos_ref[k, :] for k in range(nq))
+        planes = _heightgrid_planes(grid, table_ref[:, :], model, qp)
+        k = 0
+        for c, gx, gy in planes:
+            out_ref[k, :] = c
+            out_ref[k + 1, :] = gx
+            out_ref[k + 2, :] = gy
+            k += 3
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec((nq, tile), lambda i: (0, i)),
+            pl.BlockSpec(table.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_planes, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((n_planes, B), jnp.float32),
+        interpret=interpret,
+    )
+    return call(qpos.T.astype(jnp.float32), table.astype(jnp.float32)).T
+
+
 def pallas_control_step(
     model: Model,
     qpos: jax.Array,  # [B, nq]
@@ -170,7 +235,7 @@ def pallas_control_step(
     interpret: bool = False,
     exact: bool = False,
     terrain=None,
-    extra: "jax.Array | None" = None,  # [B, n_extra] packed DR+push+planes
+    extra: "jax.Array | None" = None,  # [B, n_extra] DR+push+planes
     dr_fields: tuple = (),
     has_push: bool = False,
     n_terrain_planes: int = 0,
@@ -200,12 +265,12 @@ def pallas_control_step(
     analytic heightfield — trace-time constants, a few fused sin/cos
     per contact), and ``extra`` — per-env domain-randomization scalars
     (``dr_fields`` names them), then the 3 push-force lanes
-    (``has_push``), then ``n_terrain_planes`` per-geom frozen
-    tangent-plane triples ``(c, gx, gy)`` (data/HeightGrid terrain
-    sampled in XLA once per control step — see
-    ``engine_soa.substep_soa``), packed ``[B, n_extra]``. They add
-    input lanes, not launches: the whole feature set is one kernel per
-    control step.
+    (``has_push``), then ``n_terrain_planes`` frozen tangent-plane
+    triples ``(c, gx, gy)`` per ground geom (HeightGrid terrain,
+    produced once per control step by :func:`pallas_plane_sampler` —
+    folding the table dots into THIS kernel OOM-killed the remote
+    Mosaic compile helper), packed ``[B, n_extra]``. They add input
+    lanes, not launches.
     """
     from jax.experimental import pallas as pl
 
@@ -334,36 +399,55 @@ def make_control_step_runner(
 
     Feature plumbing: ``terrain`` is a static analytic heightfield —
     OR a :class:`~nnx_ppo_tpu.physics.terrain.HeightGrid`, in which
-    case the runner consumes 3 frozen tangent-plane lanes per ground
-    geom (sampled from the grid in XLA by the env once per control
-    step) instead of in-kernel terrain math; ``dr_fields`` names the
-    per-env domain-randomization scalars and ``has_push`` appends a
-    3-vector world push force — together they form the runner's packed
-    per-env ``extra`` argument (``[len(dr_fields) + 3·has_push +
-    3·n_planes]``). When all are off the runner keeps the 3-argument
-    signature."""
+    case the height table rides the kernel as a VMEM operand and each
+    geom's frozen tangent plane is sampled IN-KERNEL at control-step
+    start (one-hot MXU dots — no gathers, no XLA-side FK);
+    ``dr_fields`` names the per-env domain-randomization scalars and
+    ``has_push`` appends a 3-vector world push force — together they
+    form the runner's packed per-env ``extra`` argument
+    (``[len(dr_fields) + 3·has_push]``). When all are off the runner
+    keeps the 3-argument signature."""
     from jax.custom_batching import custom_vmap
+
+    import numpy as np
 
     from nnx_ppo_tpu.physics.terrain import HeightGrid
 
     nq, nv, nj = model.nq, model.nv, model.nj
     n_geoms = len(model.geom_body) + len(model.pair_geom_a)
-    n_planes = len(model.geom_body) if isinstance(terrain, HeightGrid) else 0
-    if n_planes:
-        terrain = None  # the grid never enters the kernel; lanes do
-    n_extra = len(dr_fields) + (3 if has_push else 0) + 3 * n_planes
+    heightgrid = None
+    if isinstance(terrain, HeightGrid):
+        heightgrid = terrain
+        terrain = None  # the grid never enters the substep; planes do
+        table_const = jnp.asarray(
+            np.asarray(heightgrid.data), jnp.float32
+        )
+    n_extra = len(dr_fields) + (3 if has_push else 0)
+    # Operand layout: (qpos, qvel, target[, extra][, table]). The table
+    # must be an explicit operand (not a closure constant):
+    # custom_partitioning rejects traced closure consts, and as an
+    # operand it gets an explicitly REPLICATED sharding below.
+    has_table = heightgrid is not None
+    n_state = 3 + (1 if n_extra else 0)
+    n_in = n_state + (1 if has_table else 0)
 
-    def run_one(qpos, qvel, target, extra=None):
+    def run_one(*args):
+        qpos, qvel, target = args[0], args[1], args[2]
+        extra = args[3] if n_extra else None
+        table = args[n_state] if has_table else None
         qp = tuple(qpos[k] for k in range(nq))
         qv = tuple(qvel[k] for k in range(nv))
         tgt = tuple(target[k] for k in range(nj))
         if n_extra:
             sub_kw, crba_kw = _split_extra(
-                [extra[k] for k in range(n_extra)], dr_fields, has_push,
-                n_planes,
+                [extra[k] for k in range(n_extra)], dr_fields, has_push
             )
         else:
             sub_kw, crba_kw = {}, {}
+        if has_table:
+            sub_kw["terrain_planes"] = _heightgrid_planes(
+                heightgrid, table, model, qp
+            )
         chol_lanes = (
             None if exact else crba_chol_soa(model, qp, dt, **crba_kw)
         )
@@ -382,23 +466,46 @@ def make_control_step_runner(
     def run_batch(*args):
         """Batched dispatch on whatever batch it is handed — the GLOBAL
         env axis on one device, or a PER-SHARD slice when GSPMD
-        partitions the wrapped call below (tile choice is local)."""
+        partitions the wrapped call below (tile choice is local). The
+        trailing table operand (heightgrid mode) is UNbatched."""
         B = args[0].shape[0]
         on_tpu = jax.default_backend() == "tpu"
         tile = _pick_tile(B, model) if on_tpu else B
         if force_pallas or (on_tpu and tile is not None):
+            extra = args[3] if n_extra else None
+            n_planes = 0
+            if has_table:
+                # HeightGrid: the dedicated sampler kernel produces the
+                # per-geom tangent-plane lanes once per control step;
+                # they join the packed extra lanes of the physics
+                # kernel (folding the table dots into the physics
+                # kernel itself OOM-killed the Mosaic compile helper).
+                n_planes = len(model.geom_body)
+                sampler_tile = tile if tile is not None else B
+                while sampler_tile > 512 and B % (sampler_tile // 2) == 0:
+                    sampler_tile //= 2
+                planes = pallas_plane_sampler(
+                    model, heightgrid, args[0], args[n_state],
+                    tile=sampler_tile, interpret=not on_tpu,
+                )
+                extra = (
+                    planes
+                    if extra is None
+                    else jnp.concatenate([extra, planes], axis=1)
+                )
             return pallas_control_step(
                 model, *args[:3], kp, dt, n_substeps,
                 tile=tile if tile is not None else B,
                 interpret=not on_tpu,
                 exact=exact,
                 terrain=terrain,
-                extra=args[3] if n_extra else None,
+                extra=extra,
                 dr_fields=dr_fields,
                 has_push=has_push,
                 n_terrain_planes=n_planes,
             )
-        return jax.vmap(run_one)(*args)
+        in_axes = (0,) * n_state + ((None,) if has_table else ())
+        return jax.vmap(run_one, in_axes=in_axes)(*args)
 
     # GSPMD partitioning rule for the megakernel. Without it the SPMD
     # partitioner treats the pallas_call as an opaque custom call:
@@ -411,16 +518,16 @@ def make_control_step_runner(
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec
 
-    n_in = 4 if n_extra else 3
     dispatch = custom_partitioning(run_batch)
 
     def _batch_axis(arg_infos):
-        # Collect the dim-0 mesh axis of EVERY operand and require
-        # agreement: operands arriving sharded on different axes would
-        # mean an upstream layout bug, and silently force-resharding
-        # the rest onto the first one would mask it.
+        # Collect the dim-0 mesh axis of every BATCHED operand and
+        # require agreement: operands arriving sharded on different
+        # axes would mean an upstream layout bug, and silently
+        # force-resharding the rest onto the first one would mask it.
+        # (The trailing table operand is replicated and skipped.)
         axes = set()
-        for info in arg_infos:
+        for info in list(arg_infos)[:n_state]:
             s = getattr(info, "sharding", None)
             spec = getattr(s, "spec", None)
             if spec is not None and len(spec) and spec[0] is not None:
@@ -443,7 +550,11 @@ def make_control_step_runner(
         ax = _batch_axis(arg_infos)
         arg_sh = tuple(
             NamedSharding(mesh, PartitionSpec(ax, None))
-            for _ in range(n_in)
+            for _ in range(n_state)
+        ) + (
+            (NamedSharding(mesh, PartitionSpec(None, None)),)
+            if has_table
+            else ()
         )
         res_sh = tuple(
             NamedSharding(mesh, PartitionSpec(ax, None)) for _ in range(3)
@@ -453,16 +564,16 @@ def make_control_step_runner(
     dispatch.def_partition(
         infer_sharding_from_operands=_infer,
         partition=_partition,
-        # Shardy rule: batch factor shared by every operand/result dim 0;
-        # all feature dims are distinct factors (replicated).
+        # Shardy rule: batch factor shared by every batched operand /
+        # result dim 0; feature dims (and the whole replicated table)
+        # are distinct factors.
         sharding_rule=(
-            ", ".join(f"b i{k}" for k in range(n_in))
+            ", ".join(f"b i{k}" for k in range(n_state))
+            + (", t0 t1" if has_table else "")
             + " -> "
             + ", ".join(f"b o{k}" for k in range(3))
         ),
     )
-
-
 
     def batch_args(axis_size, in_batched, args):
         def ensure(x, batched):
@@ -470,31 +581,50 @@ def make_control_step_runner(
                 return x
             return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-        return tuple(ensure(x, b) for x, b in zip(args, in_batched))
+        # State operands broadcast to the batch; the table stays
+        # unbatched (replicated operand of the dispatch).
+        state = tuple(
+            ensure(x, b)
+            for x, b in zip(args[:n_state], in_batched[:n_state])
+        )
+        return state + tuple(args[n_state:])
 
     if n_extra == 0:
 
         @custom_vmap
-        def run(qpos, qvel, target):
-            return run_one(qpos, qvel, target)
+        def run_inner(qpos, qvel, target, *table):
+            return run_one(qpos, qvel, target, *table)
 
-        @run.def_vmap
-        def run_vmap(axis_size, in_batched, qpos, qvel, target):
-            args = batch_args(axis_size, in_batched, (qpos, qvel, target))
+        @run_inner.def_vmap
+        def run_vmap(axis_size, in_batched, qpos, qvel, target, *table):
+            args = batch_args(
+                axis_size, in_batched, (qpos, qvel, target) + table
+            )
             return dispatch(*args), (True, True, True)
+
+        def run(qpos, qvel, target):
+            if has_table:
+                return run_inner(qpos, qvel, target, table_const)
+            return run_inner(qpos, qvel, target)
 
     else:
 
         @custom_vmap
-        def run(qpos, qvel, target, extra):
-            return run_one(qpos, qvel, target, extra)
+        def run_inner(qpos, qvel, target, extra, *table):
+            return run_one(qpos, qvel, target, extra, *table)
 
-        @run.def_vmap
-        def run_vmap(axis_size, in_batched, qpos, qvel, target, extra):
+        @run_inner.def_vmap
+        def run_vmap(axis_size, in_batched, qpos, qvel, target, extra,
+                     *table):
             args = batch_args(
-                axis_size, in_batched, (qpos, qvel, target, extra)
+                axis_size, in_batched, (qpos, qvel, target, extra) + table
             )
             return dispatch(*args), (True, True, True)
+
+        def run(qpos, qvel, target, extra):
+            if has_table:
+                return run_inner(qpos, qvel, target, extra, table_const)
+            return run_inner(qpos, qvel, target, extra)
 
     return run
 

@@ -136,6 +136,9 @@ class HeightGrid:
 
     def height(self, xy: jax.Array) -> jax.Array:
         """Bilinear height at world ``xy`` ([..., 2] → [...])."""
+        if self._use_dot():
+            c, gx, gy = self._plane_via_dot(xy)
+            return c + gx * xy[..., 0] + gy * xy[..., 1]
         h00, h10, h01, h11, fx, fy = self._cell(xy)
         return (
             h00 * (1 - fx) * (1 - fy)
@@ -143,6 +146,48 @@ class HeightGrid:
             + h01 * (1 - fx) * fy
             + h11 * fx * fy
         )
+
+    def _use_dot(self) -> bool:
+        # TPU: native gathers from the table measured ~21 µs per
+        # [2048]-batched lookup (XLA lowers them to slow custom
+        # fusions); the one-hot-weighted MXU dot form is ~2-4x faster
+        # and is the same math the megakernel sampler uses
+        # (engine_soa.heightgrid_planes_soa).
+        return jax.default_backend() == "tpu"
+
+    def _plane_via_dot(self, xy: jax.Array) -> tuple:
+        """Tangent plane via one-hot-weighted MXU dots (no gather)."""
+        d = jnp.asarray(self.data, jnp.float32)
+        nx, ny = d.shape
+        u = (xy[..., 0] - self.x0) / self.dx
+        v = (xy[..., 1] - self.y0) / self.dy
+        i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, nx - 2)
+        j = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, ny - 2)
+        fx = jnp.clip(u - i, 0.0, 1.0)
+        fy = jnp.clip(v - j, 0.0, 1.0)
+        flat_i = i.reshape(-1)
+        flat_j = j.reshape(-1)
+        iota_x = jnp.arange(nx, dtype=jnp.int32)
+        iota_y = jnp.arange(ny, dtype=jnp.int32)
+        ohi = (flat_i[:, None] == iota_x).astype(jnp.float32)
+        ohi1 = (flat_i[:, None] + 1 == iota_x).astype(jnp.float32)
+        wi = (1.0 - fx.reshape(-1))[:, None] * ohi + fx.reshape(-1)[:, None] * ohi1
+        wdi = (ohi1 - ohi) / self.dx
+        rows = jnp.dot(wi, d, preferred_element_type=jnp.float32)
+        rows_dx = jnp.dot(wdi, d, preferred_element_type=jnp.float32)
+        ohj = (flat_j[:, None] == iota_y).astype(jnp.float32)
+        ohj1 = (flat_j[:, None] + 1 == iota_y).astype(jnp.float32)
+        wj = (1.0 - fy.reshape(-1))[:, None] * ohj + fy.reshape(-1)[:, None] * ohj1
+        wdj = (ohj1 - ohj) / self.dy
+        h = jnp.sum(rows * wj, axis=-1).reshape(u.shape)
+        gx = jnp.sum(rows_dx * wj, axis=-1).reshape(u.shape)
+        gy = jnp.sum(rows * wdj, axis=-1).reshape(u.shape)
+        in_x = ((u >= 0.0) & (u <= nx - 1)).astype(jnp.float32)
+        in_y = ((v >= 0.0) & (v <= ny - 1)).astype(jnp.float32)
+        gx = gx * in_x
+        gy = gy * in_y
+        c = h - gx * xy[..., 0] - gy * xy[..., 1]
+        return c, gx, gy
 
     def _grad_parts(self, xy, h00, h10, h01, h11, fx, fy):
         d = np.asarray(self.data).shape
@@ -160,8 +205,11 @@ class HeightGrid:
         clamping (otherwise contacts out there would feel the edge
         cell's slope as a phantom lateral push). [..., 2] → [..., 2]
         (stacked on the last axis)."""
-        cell = self._cell(xy)
-        gx, gy = self._grad_parts(xy, *cell)
+        if self._use_dot():
+            _, gx, gy = self._plane_via_dot(xy)
+        else:
+            cell = self._cell(xy)
+            gx, gy = self._grad_parts(xy, *cell)
         return jnp.stack([gx, gy], axis=-1) if xy.ndim > 1 else jnp.stack([gx, gy])
 
     def plane(self, xy: jax.Array) -> tuple:
@@ -169,6 +217,8 @@ class HeightGrid:
         interpolant at ``xy`` ([..., 2] → three [...] arrays) from ONE
         cell evaluation — the fused form of ``height`` + ``grad`` used
         to build the megakernel's per-contact terrain lanes."""
+        if self._use_dot():
+            return self._plane_via_dot(xy)
         cell = self._cell(xy)
         h00, h10, h01, h11, fx, fy = cell
         h = (

@@ -90,7 +90,6 @@ class TestEnvKernelPath:
             terrain=grid,
         )
         assert env._control_runner is not None
-        assert env._kernel_heightgrid
         assert soa_features_unsupported_reason(terrain=grid) is None
 
     def test_env_heightgrid_plane_matches_analytic_plane(self):

@@ -385,3 +385,53 @@ class TestShardedPhysics:
             np.asarray(out.data["qvel"]), np.asarray(out1.data["qvel"]),
             rtol=1e-6, atol=1e-6,
         )
+
+
+class TestNoCrossShardGathers:
+    def test_train_step_has_no_cross_shard_data_gathers(self):
+        """With shard-local minibatch permutations, no rollout/replay
+        DATA crosses shards in the compiled train step: no all-to-all,
+        no collective-permute, and every all-gather is a tiny s32 INDEX
+        materialization (GSPMD replicating the 64-byte per-minibatch
+        selector slice before each shard-local buffer gather — inherent
+        to a sharded gather with replicated indices, and measured
+        immune to sharding constraints on the selectors). This is the
+        HLO-level gate behind the weak-scaling table
+        (benchmarks/weak_scaling.py; SURVEY §2.6, BASELINE ≥85%
+        retention target)."""
+        import re
+        mesh = make_mesh(8)
+        env = EpisodeWrapper(MoveToCenterEnv(), 50)
+        net = make_mlp_actor_critic(
+            2, 2, [16, 16], [16, 16], jax.random.key(0), normalize_obs=True
+        )
+        config = PPOConfig(
+            n_envs=32, rollout_length=5, n_epochs=2, n_minibatches=2
+        )
+        opt = make_optimizer(config.learning_rate)
+        ts = new_training_state(env, net, config.n_envs, seed=0, mesh=mesh)
+        hlo = (
+            jax.jit(
+                functools.partial(
+                    ppo_step, env, config=config, optimizer=opt, mesh=mesh
+                )
+            )
+            .lower(ts)
+            .compile()
+            .as_text()
+        )
+        for op in ("all-to-all", "collective-permute"):
+            assert op not in hlo, f"unexpected {op} in the train step"
+        # Every all-gather must be an s32 index-vector materialization
+        # of at most a few hundred bytes — never env-batched f32 data.
+        for m in re.finditer(r"all-gather[^=]*= (\w+)\[([\d,]*)\]", hlo):
+            dtype, dims = m.group(1), m.group(2)
+            n_elems = 1
+            for d in dims.split(","):
+                if d:
+                    n_elems *= int(d)
+            assert dtype == "s32" and n_elems <= 256, (
+                f"data-sized all-gather in the train step: "
+                f"{dtype}[{dims}]"
+            )
+        assert "all-reduce" in hlo  # grads/stats still reduce globally

@@ -159,12 +159,6 @@ def test_env_pallas_unbatched_step():
     "kwargs,match",
     [
         (
-            # Grid heightfields need per-lane gathers — only analytic
-            # Terrain rides the kernel; HeightGrid must be refused.
-            dict(reuse_mass_matrix=True, terrain="GRID"),
-            "analytic Terrain",
-        ),
-        (
             # The legacy factor-passed-in kernel still needs the held
             # factor; only the in-kernel-factor runner supports exact.
             dict(pallas_in_kernel_factor=False),
@@ -187,14 +181,6 @@ def test_env_pallas_refuses_unsupported(kwargs, match):
         from nnx_ppo_tpu.physics import DomainRandomization
 
         kwargs["randomize"] = DomainRandomization(mass_scale=(0.9, 1.1))
-    if kwargs.get("terrain") == "GRID":
-        import numpy as np
-
-        from nnx_ppo_tpu.physics.terrain import HeightGrid
-
-        kwargs["terrain"] = HeightGrid(
-            data=np.zeros((4, 4)), x0=-1.0, y0=-1.0, dx=0.5, dy=0.5
-        )
     with pytest.raises(ValueError, match=match):
         QuadrupedJoystick(substep_impl="pallas", **kwargs)
 
@@ -262,7 +248,8 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
     assert env2._control_runner is not None
     assert env2._dr_fields == ("mass_scale", "friction", "gain_scale")
     assert env2._kernel_push
-    # Grid heightfields stay off the kernel path under 'auto'.
+    # Grid heightfields ride the kernel too (in-kernel tangent-plane
+    # sampling — tests/test_heightgrid_kernel.py).
     import numpy as np_
 
     from nnx_ppo_tpu.physics.terrain import HeightGrid
@@ -273,7 +260,7 @@ def test_env_auto_builds_runner_but_stays_xla_on_cpu():
             data=np_.zeros((4, 4)), x0=-1.0, y0=-1.0, dx=0.5, dy=0.5
         ),
     )
-    assert env3._substep_runner is None and env3._control_runner is None
+    assert env3._control_runner is not None
     # Off-TPU, a step through 'auto' must take the XLA path and stay
     # finite (dispatch is trace-time on jax.default_backend()).
     state = jax.vmap(env.reset)(jax.random.split(jax.random.key(0), 4))
