@@ -688,25 +688,25 @@ def bench(name: str, warmup: int = 2, iters: int = 10,
 def _distill_quadruped(shuffle_minibatches=True, n_envs=2048):
     from nnx_ppo_tpu.algorithms.config import DistillationConfig
 
+    import jax.numpy as jnp
+
     env, teacher, _ = CONFIGS["quadruped_2048_fastM"]()
     # Student: same architecture, independent init (the distillation
-    # contract needs isomorphic state/extras trees).
+    # contract needs isomorphic state/extras trees). A student identical
+    # in params to the teacher would make the NLL degenerate; jitter the
+    # params deterministically.
     _, student, _ = CONFIGS["quadruped_2048_fastM"]()
-    import dataclasses as _dc
-
-    # A teacher identical in params to the student would make the NLL
-    # degenerate; reseed the student by jittering params deterministically.
     from nnx_ppo_tpu.core.struct import combine, partition_params
 
     p, rest = partition_params(student)
     p = jax.tree.map(
-        lambda x: x + 0.01 * jnp.sign(jnp.sin(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape))
+        lambda x: x
+        + 0.01 * jnp.sign(jnp.sin(jnp.arange(x.size, dtype=jnp.float32)).reshape(x.shape))
         if hasattr(x, "shape") and x.dtype == jnp.float32
         else x,
         p,
     )
     student = combine(p, rest)
-    del _dc
     cfg = DistillationConfig(
         n_envs=n_envs,
         rollout_length=20,

@@ -135,6 +135,11 @@ def main() -> None:
                         help="smooth staircase ground (terrain.stairs) + "
                              "height scan — the classic stair-climbing "
                              "benchmark surface")
+    parser.add_argument("--hfield", action="store_true",
+                        help="sample the chosen terrain (--rough/--stairs)"
+                             " into a HeightGrid: trains on DATA terrain "
+                             "(the MJCF-hfield workload) through the "
+                             "megakernel's tangent-plane sampler")
     parser.add_argument("--randomize", action="store_true",
                         help="per-episode domain randomization (mass/"
                         "friction/damping/gain — physics/randomize.py)")
@@ -157,8 +162,10 @@ def main() -> None:
         suffix = ("_full" if args.full_contact else "") + (
             "_rough" if args.rough else ""
         ) + ("_stairs" if args.stairs else "") + (
-            "_dr" if args.randomize else ""
-        ) + ("_priv" if args.privileged else "")
+            "_hfield" if args.hfield else ""
+        ) + ("_dr" if args.randomize else "") + (
+            "_priv" if args.privileged else ""
+        )
         args.out = os.path.join(
             os.path.dirname(__file__),
             f"../benchmarks/results/{args.env}{suffix}_curve.csv",
@@ -177,6 +184,14 @@ def main() -> None:
         extra = dict(
             terrain=stairs(step_height=0.06, step_length=0.4),
             height_scan=5,
+        )
+    if args.hfield:
+        if "terrain" not in extra:
+            raise SystemExit("--hfield needs --rough or --stairs")
+        from nnx_ppo_tpu.physics.terrain import HeightGrid
+
+        extra["terrain"] = HeightGrid.sample(
+            extra["terrain"], extent=12.0, n=256
         )
     if args.privileged:
         args.randomize = True
