@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import time
 from typing import Any, Callable, Optional
 
 import jax
@@ -62,7 +61,6 @@ from nnx_ppo_tpu.networks.types import (
 from nnx_ppo_tpu.parallel.mesh import (
     constrain_batch,
     constrain_time_batch,
-    shard_training_state,
 )
 from nnx_ppo_tpu.parallel.permutation import minibatch_plan
 

@@ -32,16 +32,13 @@ import optax
 
 from nnx_ppo_tpu.algorithms import rollout
 from nnx_ppo_tpu.algorithms.config import (
-    EvalConfig,
     PPOConfig,
     TrainConfig,
     TrainResult,
-    VideoConfig,
     VideoData,
 )
 from nnx_ppo_tpu.algorithms.metrics import compute_metrics, log_weight_stats
 from nnx_ppo_tpu.algorithms.types import (
-    EnvState,
     LoggingLevel,
     RLEnv,
     TrainingState,
@@ -66,7 +63,7 @@ from nnx_ppo_tpu.parallel.mesh import (
     constrain_time_batch,
     shard_training_state,
 )
-from nnx_ppo_tpu.parallel.permutation import minibatch_permutations, minibatch_plan
+from nnx_ppo_tpu.parallel.permutation import minibatch_plan
 
 
 class BoundedDispatch:
