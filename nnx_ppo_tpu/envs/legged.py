@@ -373,6 +373,39 @@ class LeggedJoystick:
                             if getattr(randomize, name) is not None
                         )
                     self._kernel_push = push_force > 0.0
+                    # Cold-compile gate (docs/physics.md "compile
+                    # cost"): the big-humanoid lane count combined with
+                    # the full feature-lane set measured a ~30-minute
+                    # remote Mosaic compile on a v5e. Warn up front so a
+                    # cold-cache user knows what the wall is and how to
+                    # avoid it; the persistent compile cache
+                    # (jax_compilation_cache_dir) makes every rerun
+                    # fast.
+                    chain_depth = 0
+                    _d = [0] * model.n_bodies
+                    for _i in range(model.n_bodies):
+                        _p = model.parent[_i]
+                        _d[_i] = 0 if _p < 0 else _d[_p] + 1
+                        chain_depth = max(chain_depth, _d[_i])
+                    if (
+                        chain_depth >= 4
+                        and terrain is not None
+                        and (self._dr_fields or self._kernel_push)
+                    ):
+                        import warnings
+
+                        warnings.warn(
+                            "building the in-kernel-factor megakernel "
+                            f"for a depth-{chain_depth} kinematic chain "
+                            "with terrain + DR/push lanes: the first "
+                            "(cold-cache) "
+                            "Mosaic compile of this combination has "
+                            "measured ~30 minutes on a remote v5e. "
+                            "Enable jax_compilation_cache_dir to pay it "
+                            "once, or set substep_impl='xla' to skip "
+                            "the kernel (docs/physics.md).",
+                            stacklevel=2,
+                        )
                     self._control_runner = make_control_step_runner(
                         model, kp, self.physics_dt, n_substeps,
                         force_pallas=(substep_impl == "pallas"),
