@@ -425,15 +425,16 @@ def dynamics_soa_g(model: Model, kin, v, qpos, qvel, tau, chol, dt: float,
 
     # ---- intra-tree sphere-sphere pairs ----
     for ga, gb in zip(model.pair_geom_a, model.pair_geom_b):
-        fn = _pair_force_soa(model, model, kin, kin, v, v, ga, gb, f, f)
+        fn, c_w, f_w = _sphere_pair_soa(
+            model, model, kin, kin, v, v, ga, gb
+        )
+        _accumulate_point_force(kin, f, int(model.geom_body[gb]), c_w, f_w, 1.0)
+        _accumulate_point_force(kin, f, int(model.geom_body[ga]), c_w, f_w, -1.0)
         normals.append(fn)
 
     # ---- external (cross-tree) world point forces ----
     for b, c_w, f_w in ext_forces:
-        r_loc = soa.m3T_vec(E[b], soa.v3_sub(c_w, P[b]))
-        f_b = soa.m3T_vec(E[b], f_w)
-        f_sp = soa.sp(soa.v3_cross(r_loc, f_b), f_b)
-        f[b] = tuple(f[b][k] - f_sp[k] for k in range(6))
+        _accumulate_point_force(kin, f, b, c_w, f_w, 1.0)
 
     # ---- backward pass: generalized bias ----
     per_dof = [None] * NB
@@ -506,12 +507,13 @@ def dynamics_soa_g(model: Model, kin, v, qpos, qvel, tau, chol, dt: float,
     return qacc, normals
 
 
-def _pair_force_soa(ma, mb, kin_a, kin_b, va, vb, ga, gb, fa, fb):
+def _sphere_pair_soa(ma, mb, kin_a, kin_b, va, vb, ga, gb):
     """Sphere-sphere penalty pair between geom ``ga`` of tree a and
     ``gb`` of tree b (a may equal b for intra-tree pairs): equal and
-    opposite at the midpoint of the penetration axis. Accumulates into
-    ``fa[body_a]`` / ``fb[body_b]``; returns the normal-force lane.
-    Cross-tree parameters are the arithmetic means (``scene.py``)."""
+    opposite at the midpoint of the penetration axis. Returns
+    ``(fn, c_w, f_w)`` — normal-force lane, world contact point, world
+    force ON b (a feels ``-f_w``). Cross-tree parameters are the
+    arithmetic means (``scene.py``)."""
     Ea, Pa, _, _ = kin_a
     Eb, Pb, _, _ = kin_b
     ba, bb_ = int(ma.geom_body[ga]), int(mb.geom_body[gb])
@@ -551,16 +553,18 @@ def _pair_force_soa(ma, mb, kin_a, kin_b, va, vb, ga, gb, fa, fb):
     vt_norm = jnp.sqrt(soa.v3_dot(vt, vt) + 1e-6)
     ft_scale = -friction * fn / jnp.maximum(vt_norm, friction_vel)
     f_w = soa.v3_add(soa.v3_scale(fn, n), soa.v3_scale(ft_scale, vt))
-    for (kin, v_list, b, flist, sign) in (
-        (kin_b, vb, bb_, fb, 1.0),
-        (kin_a, va, ba, fa, -1.0),
-    ):
-        E, P, _, _ = kin
-        r_loc = soa.m3T_vec(E[b], soa.v3_sub(c_w, P[b]))
-        f_bdy = soa.m3T_vec(E[b], soa.v3_scale(sign, f_w))
-        f_sp = soa.sp(soa.v3_cross(r_loc, f_bdy), f_bdy)
-        flist[b] = tuple(flist[b][k] - f_sp[k] for k in range(6))
-    return fn
+    return fn, c_w, f_w
+
+
+def _accumulate_point_force(kin, flist, b, c_w, f_w, sign):
+    """Fold a world point force into a body's bias-force accumulator
+    (contacts SUBTRACT from f so rhs = tau − C carries them
+    positively)."""
+    E, P, _, _ = kin
+    r_loc = soa.m3T_vec(E[b], soa.v3_sub(c_w, P[b]))
+    f_bdy = soa.m3T_vec(E[b], soa.v3_scale(sign, f_w))
+    f_sp = soa.sp(soa.v3_cross(r_loc, f_bdy), f_bdy)
+    flist[b] = tuple(flist[b][k] - f_sp[k] for k in range(6))
 
 
 # -------------------------------------------------------------- integrate
@@ -622,65 +626,21 @@ def scene_substep_soa(models, pairs, qposs, qvels, taus, dt: float,
     kins = [kin_soa_g(m, qp) for m, qp in zip(models, qposs)]
     vs = [vel_soa_g(m, k, qv) for m, k, qv in zip(models, kins, qvels)]
 
-    # Cross-tree pair forces, accumulated into per-tree per-body bias
-    # buffers that dynamics_soa_g folds in via ext_forces. To keep the
-    # force accumulation inside dynamics_soa_g (same fp order as the
-    # intra-tree pairs), compute world force + point here and hand the
-    # (body, point, force) triples over.
+    # Cross-tree pair forces, handed to each tree's dynamics as
+    # (body, point, force) ext triples — dynamics_soa_g folds them into
+    # the bias accumulation with the same rule as intra-tree pairs.
     ext: list[list] = [[] for _ in models]
     cross_normals = []
     for ta, ga, tb, gb in pairs:
-        ma, mb = models[ta], models[tb]
-        # Use a scratch f-list so _pair_force_soa's accumulation does
-        # not double-count: we extract (c_w, f_w) via the ext path
-        # instead. Reimplemented inline to return the force:
-        Ea, Pa, _, _ = kins[ta]
-        Eb, Pb, _, _ = kins[tb]
-        ba, bb_ = int(ma.geom_body[ga]), int(mb.geom_body[gb])
-        ra = float(ma.geom_radius[ga])
-        rb = float(mb.geom_radius[gb])
-        xa = soa.v3_add(
-            Pa[ba], soa.m3_vec(Ea[ba], _const3(ma.geom_offset[ga]))
+        fn, c_w, f_w = _sphere_pair_soa(
+            models[ta], models[tb], kins[ta], kins[tb], vs[ta], vs[tb],
+            ga, gb,
         )
-        xb = soa.v3_add(
-            Pb[bb_], soa.m3_vec(Eb[bb_], _const3(mb.geom_offset[gb]))
-        )
-        d = soa.v3_sub(xb, xa)
-        dist = jnp.sqrt(soa.v3_dot(d, d) + 1e-12)
-        n = soa.v3_scale(1.0 / dist, d)
-        phi = ra + rb - dist
-        c_w = soa.v3_add(xa, soa.v3_scale(ra - 0.5 * phi, n))
-
-        def point_vel(kin, v, b, c):
-            E, P, _, _ = kin
-            r_loc = soa.m3T_vec(E[b], soa.v3_sub(c, P[b]))
-            w, l = soa.sp_ang(v[b]), soa.sp_lin(v[b])
-            return soa.m3_vec(E[b], soa.v3_add(l, soa.v3_cross(w, r_loc)))
-
-        v_rel = soa.v3_sub(
-            point_vel(kins[tb], vs[tb], bb_, c_w),
-            point_vel(kins[ta], vs[ta], ba, c_w),
-        )
-        sep = soa.v3_dot(n, v_rel)
-        stiffness = 0.5 * (ma.contact_stiffness + mb.contact_stiffness)
-        damping = 0.5 * (ma.contact_damping + mb.contact_damping)
-        friction = 0.5 * (ma.friction + mb.friction)
-        friction_vel = max(ma.friction_vel, mb.friction_vel)
-        max_force = min(ma.max_contact_force, mb.max_contact_force)
-        fn = jnp.where(
-            phi > 0.0,
-            jnp.maximum(0.0, stiffness * phi - damping * sep),
-            0.0,
-        )
-        if np.isfinite(max_force):
-            fn = jnp.minimum(fn, max_force)
-        vt = soa.v3_sub(v_rel, soa.v3_scale(sep, n))
-        vt_norm = jnp.sqrt(soa.v3_dot(vt, vt) + 1e-6)
-        ft_scale = -friction * fn / jnp.maximum(vt_norm, friction_vel)
-        f_w = soa.v3_add(soa.v3_scale(fn, n), soa.v3_scale(ft_scale, vt))
         cross_normals.append(fn)
-        ext[tb].append((bb_, c_w, f_w))
-        ext[ta].append((ba, c_w, tuple(-x for x in f_w)))
+        ext[tb].append((int(models[tb].geom_body[gb]), c_w, f_w))
+        ext[ta].append(
+            (int(models[ta].geom_body[ga]), c_w, tuple(-x for x in f_w))
+        )
 
     new_qposs, new_qvels, tree_normals = [], [], []
     for t, m in enumerate(models):
