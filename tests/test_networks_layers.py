@@ -335,3 +335,22 @@ class TestVariational:
         np.testing.assert_array_equal(
             jax.random.key_data(reset["keys"]), jax.random.key_data(state["keys"])
         )
+
+
+class TestWelfordOps:
+    def test_multi_axis_moments_match_flat(self):
+        """batch_moments(n_batch_axes=2) == the flat [T*B] reduction —
+        the multi-axis form exists so a sharded env axis reduces in
+        place (per-shard partials + all-reduce) instead of being
+        all-gathered by the reshape (TestNoCrossShardGathers)."""
+        import jax
+        import numpy as np
+
+        from nnx_ppo_tpu.ops.welford import batch_moments
+
+        x = jax.random.normal(jax.random.key(3), (7, 11, 5))
+        n2, m2, s2 = batch_moments(x, n_batch_axes=2)
+        n1, m1, s1 = batch_moments(x.reshape(-1, 5))
+        assert n2 == n1 == 77
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5)
