@@ -280,3 +280,30 @@ def test_pick_tile_prefers_large_lanes():
     assert _pick_tile(8192, h) == 2048
     assert _pick_tile(128, q) == 128
     assert _pick_tile(100, q) is None  # not lane-divisible
+
+
+def test_deep_chain_cold_compile_warning():
+    """The humanoid-class (chain depth >= 4) megakernel with terrain +
+    DR lanes measured a ~30-minute cold Mosaic compile; constructing
+    that combination must warn with the mitigations, while the
+    (shallower) quadruped must not."""
+    import warnings
+
+    from nnx_ppo_tpu.envs import HumanoidJoystick
+    from nnx_ppo_tpu.physics import DomainRandomization, rough_terrain
+
+    kw = dict(
+        reuse_mass_matrix=True,
+        randomize=DomainRandomization(mass_scale=(0.9, 1.1)),
+        terrain=rough_terrain(),
+        push_prob=0.02,
+        push_force=50.0,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        HumanoidJoystick(**kw)
+    assert any("Mosaic compile" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        QuadrupedJoystick(**kw)
+    assert not any("Mosaic compile" in str(x.message) for x in w)
