@@ -54,13 +54,16 @@ from nnx_ppo_tpu.parallel import make_mesh
 from nnx_ppo_tpu.wrappers import EpisodeWrapper
 
 
-def _mlp_cartpole(compute_dtype=None):
+def _mlp_cartpole(compute_dtype=None, replay_store_dtype="float32"):
     env = EpisodeWrapper(CartpoleBalance(), max_len=500)
     net = make_mlp_actor_critic(
         env.observation_size, env.action_size, [64] * 4, [256] * 2,
         jax.random.key(0), entropy_weight=1e-3, compute_dtype=compute_dtype,
     )
-    return env, net, PPOConfig(n_envs=1024, rollout_length=30)
+    return env, net, PPOConfig(
+        n_envs=1024, rollout_length=30,
+        replay_store_dtype=replay_store_dtype,
+    )
 
 
 def _mlp_wide(compute_dtype="bfloat16", n_envs=8192):
@@ -179,6 +182,7 @@ def _legged_physics(
     pallas_substeps_per_kernel=1,
     pallas_in_kernel_factor=True,
     shuffle_minibatches=True,
+    replay_store_dtype="float32",
 ):
     # Real contact-rich rigid-body physics (physics/ engine) through the
     # full PPO pipeline — the Go1JoystickFlatTerrain / HumanoidWalk
@@ -283,6 +287,7 @@ def _legged_physics(
     return env, net, PPOConfig(
         n_envs=n_envs, rollout_length=20, combine_advantages=True,
         shuffle_minibatches=shuffle_minibatches,
+        replay_store_dtype=replay_store_dtype,
     )
 
 
@@ -536,6 +541,21 @@ CONFIGS = {
         _legged_physics, "quadruped", randomize=True, push=True,
         rough=True, normalize=True, reuse_mass_matrix=True,
         shuffle_minibatches=False,
+    ),
+    # bf16 replay-store A/B (PPOConfig.replay_store_dtype): halves the
+    # obs bytes the E·M per-minibatch gathers move. Exact for
+    # bf16-compute stacks; bf16-rounded replay obs otherwise.
+    "quadruped_2048_pallas_bf16store": functools.partial(
+        _legged_physics, "quadruped", reuse_mass_matrix=True,
+        substep_impl="pallas", replay_store_dtype="bfloat16",
+    ),
+    "quadruped_2048_production_bf16store": functools.partial(
+        _legged_physics, "quadruped", randomize=True, push=True,
+        rough=True, normalize=True, reuse_mass_matrix=True,
+        substep_impl="pallas", replay_store_dtype="bfloat16",
+    ),
+    "cartpole_mlp_bf16store": functools.partial(
+        _mlp_cartpole, replay_store_dtype="bfloat16",
     ),
     # BASELINE config-fidelity rows: #4 = Go1 class @ 4096 envs WITH
     # obs normalization; #5 = humanoid @ 8192 envs.

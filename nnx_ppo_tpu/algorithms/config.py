@@ -68,6 +68,20 @@ class PPOConfig:
     # Identical minibatch membership and losses either way (up to float
     # reduction order).
     rollout_layout: str = "auto"
+    # Storage dtype of the LARGE replay-view leaves (obs and the T+1
+    # bootstrap obs) that the E·M per-minibatch gathers move:
+    # "float32" (default, reference semantics) or "bfloat16", which
+    # halves their gather bytes — the replay phase's dominant remaining
+    # cost after the slim-view/batch-major work (docs/performance.md
+    # "Device profile"). For networks that cast observations to
+    # bfloat16 at their first layer (``compute_dtype=jnp.bfloat16``
+    # stacks without obs normalization) the downcast is EXACT: the
+    # replay performs the same rounding either way, losses and grads
+    # are bitwise-identical (tests/test_replay_layout.py). Otherwise
+    # the replay consumes bf16-rounded observations (~3 decimal
+    # digits) — loglikelihoods/rewards/extras always stay exact, so
+    # the epoch-0 ratio==1 invariant is unaffected.
+    replay_store_dtype: str = "float32"
     # Random minibatch shuffling per epoch (the reference's semantics;
     # default). ``False`` replaces the per-minibatch permutation
     # GATHERS with contiguous (shard-local) dynamic slices of the
@@ -144,6 +158,10 @@ class DistillationConfig:
     # PPOConfig.rollout_layout; "auto" = batch-major when the student
     # is fully replay-time-static and fused_replay is on).
     rollout_layout: str = "auto"
+    # Storage dtype of the gathered obs leaves (see
+    # PPOConfig.replay_store_dtype — same trade-off; the teacher's
+    # extras always stay exact so the NLL target is unchanged).
+    replay_store_dtype: str = "float32"
     # Contiguous-slice minibatching (see PPOConfig.shuffle_minibatches;
     # same measured trade-off — the permutation gathers are the same
     # program structure in distillation_step).

@@ -45,7 +45,11 @@ from nnx_ppo_tpu.algorithms.types import (
     LoggingLevel,
     RLEnv,
 )
-from nnx_ppo_tpu.algorithms.ppo import resolve_batch_major
+from nnx_ppo_tpu.algorithms.ppo import (
+    _downcast_float_leaves,
+    resolve_batch_major,
+    resolve_store_dtype,
+)
 from nnx_ppo_tpu.core.struct import (
     combine,
     partition_params,
@@ -149,10 +153,19 @@ class DistillationMinibatch:
 
     @classmethod
     def from_rollout(
-        cls, rollout_data: DistillationTransition, batch_major: bool = False
+        cls,
+        rollout_data: DistillationTransition,
+        batch_major: bool = False,
+        store_dtype=None,
     ) -> "DistillationMinibatch":
+        obs = rollout_data.obs
+        if store_dtype is not None:
+            # Downcast only the obs leaves (see
+            # PPOConfig.replay_store_dtype); the teacher's extras stay
+            # exact so the NLL target is unchanged.
+            obs = _downcast_float_leaves(obs, store_dtype)
         seq = (
-            rollout_data.obs,
+            obs,
             rollout_data.done,
             rollout_data.teacher_rollout_extras,
         )
@@ -289,7 +302,9 @@ def distillation_step(
     # (parallel/permutation.minibatch_plan); same measured trade-offs
     # as PPOConfig.shuffle_minibatches / rollout_layout.
     batch_major = resolve_batch_major(config, distillation_state.student)
-    replay_view = DistillationMinibatch.from_rollout(rollout_data, batch_major)
+    replay_view = DistillationMinibatch.from_rollout(
+        rollout_data, batch_major, store_dtype=resolve_store_dtype(config)
+    )
     replay_view = replay_view.constrain(mesh)
     selectors, take_seq, take_batch = minibatch_plan(
         n_envs,

@@ -215,13 +215,24 @@ class ReplayMinibatch:
 
     @classmethod
     def from_rollout(
-        cls, rollout_data: "Transition", batch_major: bool = False
+        cls,
+        rollout_data: "Transition",
+        batch_major: bool = False,
+        store_dtype=None,
     ) -> "ReplayMinibatch":
         """Project a time-major ``[T, B, ...]`` Transition stack down to
         the loss's working set (transposing sequence leaves once when
-        ``batch_major``)."""
+        ``batch_major``). ``store_dtype`` (from
+        :func:`resolve_store_dtype`) downcasts the float obs leaves —
+        the view's dominant gather bytes — at store time; every other
+        leaf (loglikelihoods, rewards, extras, flags) stays exact."""
+        obs = rollout_data.obs
+        last_next_obs = jax.tree.map(lambda x: x[-1], rollout_data.next_obs)
+        if store_dtype is not None:
+            obs = _downcast_float_leaves(obs, store_dtype)
+            last_next_obs = _downcast_float_leaves(last_next_obs, store_dtype)
         seq = (
-            rollout_data.obs,
+            obs,
             rollout_data.network_output.loglikelihoods,
             rollout_data.rollout_extras,
             rollout_data.rewards,
@@ -237,7 +248,7 @@ class ReplayMinibatch:
             rewards=seq[3],
             done=seq[4],
             truncated=seq[5],
-            last_next_obs=jax.tree.map(lambda x: x[-1], rollout_data.next_obs),
+            last_next_obs=last_next_obs,
             batch_major=batch_major,
         )
 
@@ -278,6 +289,32 @@ class ReplayMinibatch:
                 lambda x: take_batch(x, sel), self.bootstrap_net_state
             ),
         )
+
+
+def _downcast_float_leaves(tree: Any, dtype) -> Any:
+    """Cast inexact-dtype leaves to ``dtype``; integers/bools pass
+    through untouched (obs trees may carry discrete fields)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+        else x,
+        tree,
+    )
+
+
+def resolve_store_dtype(config: Any):
+    """Resolve ``replay_store_dtype`` (PPOConfig or DistillationConfig)
+    to a dtype for :meth:`ReplayMinibatch.from_rollout`, or None for
+    the exact float32 default."""
+    name = config.replay_store_dtype
+    if name == "float32":
+        return None
+    if name == "bfloat16":
+        return jnp.bfloat16
+    raise ValueError(
+        f"unknown replay_store_dtype {name!r}; expected 'float32' or "
+        "'bfloat16'"
+    )
 
 
 def resolve_batch_major(config: Any, networks: StatefulModule) -> bool:
@@ -350,7 +387,9 @@ def ppo_step(
     # measured SLOWER: the materialized permuted buffer costs more than
     # the gathers it saves).
     batch_major = resolve_batch_major(config, training_state.networks)
-    replay_view = ReplayMinibatch.from_rollout(rollout_data, batch_major)
+    replay_view = ReplayMinibatch.from_rollout(
+        rollout_data, batch_major, store_dtype=resolve_store_dtype(config)
+    )
     if batch_major:
         # Hoist the T+1-bootstrap key advance (T sequential splits) out
         # of the E·M minibatch losses; gather commutes with the per-env

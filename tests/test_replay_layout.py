@@ -20,6 +20,7 @@ from nnx_ppo_tpu.algorithms.ppo import (
     ReplayMinibatch,
     ppo_step,
     resolve_batch_major,
+    resolve_store_dtype,
 )
 from nnx_ppo_tpu.core.struct import partition_params
 from nnx_ppo_tpu.envs import CartpoleBalance
@@ -202,6 +203,92 @@ class TestEndToEndLayoutParity:
             rtol=1e-4,
             atol=1e-6,
         )
+
+    def test_view_downcasts_only_obs_leaves(self):
+        """replay_store_dtype touches obs/last_next_obs float leaves
+        only — loglikelihoods/rewards/extras/flags stay exact so the
+        epoch-0 ratio==1 invariant is unaffected."""
+        from nnx_ppo_tpu.algorithms.types import PPONetworkOutput, Transition
+
+        T, B = 3, 4
+        tr = Transition(
+            obs={"x": jnp.ones((T, B, 2)), "idx": jnp.ones((T, B), jnp.int32)},
+            network_output=PPONetworkOutput(
+                actions=jnp.zeros((T, B, 1)),
+                loglikelihoods=jnp.ones((T, B)),
+                value_estimates=jnp.zeros((T, B)),
+            ),
+            rewards=jnp.ones((T, B)),
+            done=jnp.zeros((T, B), bool),
+            truncated=jnp.zeros((T, B), bool),
+            next_obs={"x": jnp.ones((T, B, 2)), "idx": jnp.ones((T, B), jnp.int32)},
+            metrics={},
+        )
+        view = ReplayMinibatch.from_rollout(tr, store_dtype=jnp.bfloat16)
+        assert view.obs["x"].dtype == jnp.bfloat16
+        assert view.obs["idx"].dtype == jnp.int32  # ints pass through
+        assert view.last_next_obs["x"].dtype == jnp.bfloat16
+        assert view.old_loglikelihoods.dtype == jnp.float32
+        assert view.rewards.dtype == jnp.float32
+
+    def test_unknown_store_dtype_rejected(self):
+        with pytest.raises(ValueError, match="replay_store_dtype"):
+            resolve_store_dtype(PPOConfig(replay_store_dtype="float8"))
+        assert resolve_store_dtype(PPOConfig()) is None
+        assert (
+            resolve_store_dtype(PPOConfig(replay_store_dtype="bfloat16"))
+            is jnp.bfloat16
+        )
+
+    def _train_store(
+        self, store_dtype, compute_dtype=None, normalize_obs=False, n_steps=3
+    ):
+        env = EpisodeWrapper(CartpoleBalance(), max_len=10)
+        net = make_mlp_actor_critic(
+            5, 1, [16], [16], jax.random.key(0),
+            compute_dtype=compute_dtype, normalize_obs=normalize_obs,
+        )
+        cfg = PPOConfig(
+            n_envs=8,
+            rollout_length=5,
+            n_epochs=2,
+            n_minibatches=2,
+            replay_store_dtype=store_dtype,
+        )
+        ts = new_training_state(env, net, cfg.n_envs, seed=0)
+        opt = make_optimizer(cfg.learning_rate)
+        step = jax.jit(functools.partial(ppo_step, env, config=cfg, optimizer=opt))
+        for _ in range(n_steps):
+            ts, metrics = step(ts)
+        return ts, metrics
+
+    def test_bf16_store_exact_for_bf16_compute_nets(self):
+        """A compute_dtype=bfloat16 stack (no obs normalization) casts
+        obs to bf16 at its first layer, so storing the replay obs in
+        bf16 performs the SAME rounding: training trajectories must be
+        bitwise-identical. (With a Normalizer first the stats run in
+        f32 and the store dtype is a documented rounding instead —
+        covered by the f32 closeness test below.)"""
+        ts_a, m_a = self._train_store("float32", compute_dtype=jnp.bfloat16)
+        ts_b, m_b = self._train_store("bfloat16", compute_dtype=jnp.bfloat16)
+        p_a, _ = partition_params(ts_a.networks)
+        p_b, _ = partition_params(ts_b.networks)
+        for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+            assert jnp.array_equal(a, b)
+        assert float(m_a["losses/actor/mean"]) == float(m_b["losses/actor/mean"])
+
+    def test_bf16_store_tracks_f32_training_for_f32_nets(self):
+        """For f32 networks the bf16 store is a documented rounding of
+        the replay obs (~3 decimal digits); short training trajectories
+        must stay close to the exact path."""
+        ts_a, _ = self._train_store("float32")
+        ts_b, _ = self._train_store("bfloat16")
+        p_a, _ = partition_params(ts_a.networks)
+        p_b, _ = partition_params(ts_b.networks)
+        for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.05, atol=5e-4
+            )
 
     def test_view_from_rollout_roundtrip(self):
         """ReplayMinibatch.from_rollout transposes sequence leaves and
