@@ -102,7 +102,11 @@ def main() -> None:
     env = EpisodeWrapper(
         QuadrupedJoystick(reuse_mass_matrix=True), max_len=500
     )
-    teacher = make_net(QuadrupedJoystick, jax.random.key(0))
+    teacher = make_net(
+        QuadrupedJoystick.observation_size,
+        QuadrupedJoystick.action_size,
+        jax.random.key(0),
+    )
     cfg = TrainConfig(
         ppo=PPOConfig(
             n_envs=args.n_envs, rollout_length=20, learning_rate=3e-4,
